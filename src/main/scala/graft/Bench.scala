@@ -1,24 +1,55 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+
+/** Per-round benchmark: times every SparkEntry query on SPARK_GRAFT_SF_DIR
+  * plus the end-to-end image dedup pipeline, one JSON line to stdout.
+  */
 object Bench {
-  def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
+  def makeSession(cpus: String): SparkSession = {
+    val s = SparkSession.builder()
       .master(s"local[$cpus]")
+      .appName("graft-bench")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  /** Times the full image dedup pipeline; returns (seconds, images). */
+  def imageDedupRun(spark: SparkSession, nGroups: Int, variants: Int,
+      distractors: Int): (Double, Long) = {
+    val (images, _) = graft.images.SyntheticCorpus.generate(
+      spark, nGroups, variants, distractors)
+    images.cache()
+    val n = images.count() // materialize input outside the timed window
+    val t0 = System.nanoTime()
+    graft.pipeline.Dedup.run(images, graft.pipeline.DedupConfig())
+      .groupBy("cluster_id").count().count()
+    val sec = (System.nanoTime() - t0) / 1e9
+    images.unpersist()
+    (sec, n)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = makeSession(cpus)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val groups = sys.env.getOrElse("SPARK_GRAFT_IMG_GROUPS", "600").toInt
+    val (dedupSec, nImages) = imageDedupRun(spark, groups, 4, groups)
+    val qs = results.map { case (k, v) => "\"" + k + f"""":$v%.3f""" }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.map(_._2).sum + dedupSec
+    val ips = nImages / dedupSec
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","img_dedup_sec":$dedupSec%.3f,"img_dedup_images":$nImages,"img_dedup_images_per_sec":$ips%.1f}""")
     spark.stop()
   }
 }

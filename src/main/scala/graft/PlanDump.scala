@@ -1,0 +1,33 @@
+package graft
+
+/** Dev utility: print formatted physical plans for the load-bearing queries,
+  * to verify pushdown / pruning / codegen / join strategy choices
+  * (the `.explain("formatted")` loop the scale design is iterated against).
+  */
+object PlanDump {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val spark = Bench.makeSession(sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"))
+    def dump(name: String): Unit = {
+      println(s"\n===== $name =====")
+      SparkEntry.queries(name)(spark, sfDir).explain("formatted")
+    }
+    // pushdown + pruning
+    dump("q01_agg")
+    // broadcast choice
+    dump("q02_join_broadcast")
+    // shingle-join jaccard (the scalable near-dup verify)
+    dump("q15_ngram_jaccard")
+    // the LSH band self-join path on documents
+    dump("q18_simhash_dedup")
+    // image pipeline stages
+    println("\n===== image signatures -> bands -> candidates =====")
+    val (images, _) = graft.images.SyntheticCorpus.generate(spark, 5, 2, 5)
+    val cfg = graft.pipeline.DedupConfig()
+    val sigs = graft.pipeline.Dedup.signatures(images, cfg)
+    val cands = graft.pipeline.Dedup.candidates(
+      graft.pipeline.Dedup.bands(sigs, cfg), cfg)
+    cands.explain("formatted")
+    spark.stop()
+  }
+}

@@ -1,13 +1,325 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.ops.{DedupOps, EmbeddingOps, TextOps}
+import graft.pipeline.{Dedup, DedupConfig}
+import graft.images.SyntheticCorpus
+
+/** Driver contract — one `queries` entry per implemented operator family
+  * (SURVEY.md §2), each with a DuckDB oracle where ANSI-expressible.
+  * Hash-kernel operators (SimHash/LSH/image pipeline) have no SQL
+  * equivalent → rows-only checks + golden/recall gates in ScalaTest.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  private def t(dir: String, name: String) = s"$dir/$name.parquet"
+  private def rd(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(t(dir, name))
+
+  /** Flagship: end-to-end image near-dup clustering on a planted corpus. */
+  def entry(spark: SparkSession): DataFrame = {
+    val (images, _) = SyntheticCorpus.generate(spark, nGroups = 10,
+      variantsPerGroup = 2, nDistractors = 10)
+    Dedup.run(images, DedupConfig())
+      .groupBy("cluster_id").agg(count(lit(1)).as("size"))
+      .orderBy("cluster_id")
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- relational core (scan/filter/agg with pushdown) ----
+    "q01_agg" -> ((s, dir) => {
+      rd(s, dir, "lineitem")
+        .filter(col("l_shipdate") <= lit("1998-09-01").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(round(sum("l_quantity"), 1).as("sum_qty"),
+          round(sum("l_extendedprice"), 2).as("sum_base"),
+          count(lit(1)).as("n_rows"),
+          round(avg("l_discount"), 4).as("avg_disc"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+    "q02_join_broadcast" -> ((s, dir) => {
+      rd(s, dir, "orders")
+        .join(broadcast(rd(s, dir, "customer")),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum("o_totalprice"), 2).as("sum_price"))
+        .orderBy("c_mktsegment")
+    }),
+    "q03_join_shuffle" -> ((s, dir) => {
+      rd(s, dir, "lineitem")
+        .join(rd(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_items"),
+          round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+            .as("revenue"))
+        .orderBy("o_orderpriority")
+    }),
+    "q04_window_topn" -> ((s, dir) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      rd(s, dir, "orders")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+        .orderBy("o_custkey", "rn")
+    }),
+    "q05_sort_limit" -> ((s, dir) => {
+      rd(s, dir, "lineitem")
+        .orderBy(col("l_extendedprice").desc, col("l_orderkey").asc,
+          col("l_linenumber").asc)
+        .select("l_orderkey", "l_linenumber", "l_extendedprice")
+        .limit(20)
+    }),
+    "q06_anti_join" -> ((s, dir) => {
+      rd(s, dir, "customer")
+        .join(rd(s, dir, "orders").filter(col("o_totalprice") > 300000),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey").orderBy("c_custkey")
+    }),
+    "q07_semi_join" -> ((s, dir) => {
+      rd(s, dir, "part")
+        .join(rd(s, dir, "lineitem"),
+          col("p_partkey") === col("l_partkey"), "left_semi")
+        .groupBy("p_brand").agg(count(lit(1)).as("n_parts"))
+        .orderBy("p_brand")
+    }),
+    "q08_set_except" -> ((s, dir) => {
+      rd(s, dir, "customer").filter(col("c_acctbal") > 8000)
+        .select(col("c_nationkey").as("nationkey")).distinct()
+        .except(rd(s, dir, "supplier").filter(col("s_acctbal") > 8000)
+          .select(col("s_nationkey").as("nationkey")).distinct())
+        .orderBy("nationkey")
+    }),
+    "q09_window_running" -> ((s, dir) => {
+      val w = Window.partitionBy("l_suppkey")
+        .orderBy(col("l_shipdate").asc, col("l_orderkey").asc,
+          col("l_linenumber").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      rd(s, dir, "lineitem")
+        .withColumn("running_qty", round(sum("l_quantity").over(w), 1))
+        .select("l_suppkey", "l_orderkey", "l_linenumber", "running_qty")
+        .orderBy("l_suppkey", "l_orderkey", "l_linenumber")
+    }),
+    "q10_sessionize" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
+      rd(s, dir, "events")
+        .withColumn("prev", lag("ts", 1).over(w))
+        .withColumn("new_s",
+          when(col("prev").isNull ||
+            (unix_timestamp(col("ts")) - unix_timestamp(col("prev"))) > 1800, 1L)
+            .otherwise(0L))
+        .groupBy("user_id")
+        .agg(sum("new_s").as("n_sessions"), count(lit(1)).as("n_events"))
+        .orderBy("user_id")
+    }),
+    // ---- text-pipeline ops over documents ----
+    "q11_token_count" -> ((s, dir) => TextOps.tokenCount(rd(s, dir, "documents"))),
+    "q12_lang_id" -> ((s, dir) => TextOps.langId(rd(s, dir, "documents"))),
+    "q13_quality" -> ((s, dir) => TextOps.qualityScore(rd(s, dir, "documents"))),
+    "q14_fingerprint" -> ((s, dir) => TextOps.fingerprint(rd(s, dir, "documents"))),
+    "q15_ngram_jaccard" -> ((s, dir) =>
+      TextOps.ngramJaccardPairs(rd(s, dir, "documents"), 0.5)),
+    "q16_exact_dedup" -> ((s, dir) => DedupOps.exactDedup(rd(s, dir, "documents"))),
+    "q17_minhash_lsh_dedup" -> ((s, dir) =>
+      DedupOps.minhashLshDedup(rd(s, dir, "documents"), 0.5)),
+    "q18_simhash_dedup" -> ((s, dir) =>
+      DedupOps.simhashDedup(rd(s, dir, "documents"))),
+    // ---- similarity search over embeddings ----
+    "q19_knn_brute" -> ((s, dir) => EmbeddingOps.knnBrute(rd(s, dir, "embeddings"))),
+    "q20_cosine_pairs" -> ((s, dir) =>
+      EmbeddingOps.cosinePairs(rd(s, dir, "embeddings"), 0.4)),
+    "q21_label_stats" -> ((s, dir) => EmbeddingOps.labelStats(rd(s, dir, "embeddings"))),
+    "q22_ann_lsh" -> ((s, dir) =>
+      EmbeddingOps.lshCosinePairs(rd(s, dir, "embeddings"), 0.4)),
+    // ---- the image near-dup pipeline (no SQL equivalent → rows-only) ----
+    "q23_img_clusters" -> ((s, _) => {
+      val (images, _) = SyntheticCorpus.generate(s, 40, 3, 30)
+      Dedup.run(images, DedupConfig()).orderBy("image_id")
+    }),
+    "q24_img_pairs" -> ((s, _) => {
+      val cfg = DedupConfig()
+      val (images, _) = SyntheticCorpus.generate(s, 40, 3, 30)
+      val sigs = Dedup.signatures(images, cfg).localCheckpoint()
+      Dedup.verified(Dedup.candidates(Dedup.bands(sigs, cfg), cfg), sigs, cfg)
+        .orderBy("a", "b")
+    }),
+    "q25_img_recall" -> ((s, _) => {
+      val cfg = DedupConfig()
+      val (images, truth) = SyntheticCorpus.generate(s, 40, 3, 30)
+      val predicted = Dedup.clusterPairs(Dedup.run(images, cfg))
+      val tl = truth.select(col("group_id"), col("image_id").as("a"))
+      val tr = truth.select(col("group_id"), col("image_id").as("b"))
+      val truthPairs = tl.join(tr, "group_id").filter(col("a") < col("b"))
+        .select("a", "b")
+      val hit = truthPairs.join(predicted, Seq("a", "b"), "left_semi").count()
+      val total = truthPairs.count()
+      import s.implicits._
+      Seq((hit, total, hit.toDouble / total)).toDF("hit", "total", "recall")
+    }),
+    "q26_cfg_simhash" -> ((s, _) => {
+      import s.implicits._
+      val (hi, lo) = Fixtures.fiveNodeCfgSimHash()
+      Seq(("five_node_cfg", f"$hi%016x$lo%016x")).toDF("name", "simhash_hex")
+    })
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q01_agg" ->
+      """SELECT l_returnflag, l_linestatus, round(sum(l_quantity),1) AS sum_qty,
+        | round(sum(l_extendedprice),2) AS sum_base, count(*) AS n_rows,
+        | round(avg(l_discount),4) AS avg_disc
+        | FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
+        | GROUP BY l_returnflag, l_linestatus
+        | ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q02_join_broadcast" ->
+      """SELECT c_mktsegment, count(*) AS n_orders,
+        | round(sum(o_totalprice),2) AS sum_price
+        | FROM orders JOIN customer ON o_custkey = c_custkey
+        | GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "q03_join_shuffle" ->
+      """SELECT o_orderpriority, count(*) AS n_items,
+        | round(sum(l_extendedprice * (1.0 - l_discount)),2) AS revenue
+        | FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        | GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q04_window_topn" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |   row_number() OVER (PARTITION BY o_custkey
+        |     ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+        |  FROM orders) WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
+    "q05_sort_limit" ->
+      """SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
+        | ORDER BY l_extendedprice DESC, l_orderkey ASC, l_linenumber ASC
+        | LIMIT 20""".stripMargin,
+    "q06_anti_join" ->
+      """SELECT c_custkey FROM customer
+        | WHERE NOT EXISTS (SELECT 1 FROM orders
+        |   WHERE o_custkey = c_custkey AND o_totalprice > 300000)
+        | ORDER BY c_custkey""".stripMargin,
+    "q07_semi_join" ->
+      """SELECT p_brand, count(*) AS n_parts FROM part
+        | WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey)
+        | GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+    "q08_set_except" ->
+      """SELECT nationkey FROM (
+        |  SELECT DISTINCT c_nationkey AS nationkey FROM customer
+        |    WHERE c_acctbal > 8000
+        |  EXCEPT
+        |  SELECT DISTINCT s_nationkey AS nationkey FROM supplier
+        |    WHERE s_acctbal > 8000)
+        | ORDER BY nationkey""".stripMargin,
+    "q09_window_running" ->
+      """SELECT l_suppkey, l_orderkey, l_linenumber,
+        |  round(sum(l_quantity) OVER (PARTITION BY l_suppkey
+        |   ORDER BY l_shipdate ASC, l_orderkey ASC, l_linenumber ASC
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),1) AS running_qty
+        | FROM lineitem ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin,
+    "q10_sessionize" ->
+      """WITH x AS (SELECT user_id, ts, event_id,
+        |  lag(ts) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS prev
+        |  FROM events)
+        |SELECT user_id,
+        | CAST(sum(CASE WHEN prev IS NULL OR epoch(ts) - epoch(prev) > 1800
+        |   THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
+        | count(*) AS n_events
+        |FROM x GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q11_token_count" ->
+      """SELECT doc_id,
+        | CAST(len(list_filter(regexp_split_to_array(text,'\s+'), x -> x <> ''))
+        |   AS INT) AS n_tokens
+        | FROM documents ORDER BY doc_id""".stripMargin,
+    "q12_lang_id" ->
+      """WITH tk AS (SELECT doc_id,
+        |  list_filter(regexp_split_to_array(text,'\s+'), x -> x <> '') AS t
+        |  FROM documents),
+        |h AS (SELECT doc_id,
+        |  len(list_filter(t, x -> list_contains(['der','die','und','das','ein','nicht','ist'], x))) AS h_de,
+        |  len(list_filter(t, x -> list_contains(['the','a','of','and','is','to','in'], x))) AS h_en,
+        |  len(list_filter(t, x -> list_contains(['el','los','y','que','un','una','es'], x))) AS h_es,
+        |  len(list_filter(t, x -> list_contains(['le','les','et','que','un','une','est'], x))) AS h_fr
+        |  FROM tk)
+        |SELECT doc_id,
+        | CASE WHEN greatest(h_de,h_en,h_es,h_fr) = 0 THEN 'und'
+        |      WHEN h_de >= greatest(h_en,h_es,h_fr) THEN 'de'
+        |      WHEN h_en >= greatest(h_es,h_fr) THEN 'en'
+        |      WHEN h_es >= h_fr THEN 'es' ELSE 'fr' END AS lang_pred,
+        | CAST(greatest(h_de,h_en,h_es,h_fr) AS INT) AS hits
+        |FROM h ORDER BY doc_id""".stripMargin,
+    "q13_quality" ->
+      """WITH tk AS (SELECT doc_id,
+        |  list_filter(regexp_split_to_array(text,'\s+'), x -> x <> '') AS t
+        |  FROM documents)
+        |SELECT doc_id, CAST(len(t) AS INT) AS n_tokens,
+        | round(CAST(list_sum(list_transform(t, x -> length(x))) AS DOUBLE)/len(t),4)
+        |   AS mean_tok_len,
+        | round(CAST(len(list_distinct(t)) AS DOUBLE)/len(t),4) AS uniq_ratio,
+        | round(CAST(len(list_filter(t, x -> list_contains(
+        |   ['a','and','das','der','die','ein','el','es','est','et','in','is','ist','le','les','los','nicht','of','que','the','to','un','una','und','une','y'], x))) AS DOUBLE)/len(t),4)
+        |   AS stopword_ratio
+        |FROM tk ORDER BY doc_id""".stripMargin,
+    "q14_fingerprint" ->
+      """SELECT doc_id,
+        | CAST(list_sum([unicode(text[i]) * i FOR i IN range(1, length(text)+1)])
+        |   % 1000000007 AS BIGINT) AS fp_pos,
+        | CAST(list_sum([unicode(text[i]) FOR i IN range(1, length(text)+1)])
+        |   AS BIGINT) AS fp_sum
+        | FROM documents ORDER BY doc_id""".stripMargin,
+    "q15_ngram_jaccard" ->
+      """WITH s AS (SELECT doc_id, list_distinct(
+        |   [t[i] || ' ' || t[i+1] || ' ' || t[i+2] FOR i IN range(1, len(t)-1)]) AS sh
+        |  FROM (SELECT doc_id,
+        |    list_filter(regexp_split_to_array(text,'\s+'), x -> x <> '') AS t
+        |    FROM documents))
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+        |   (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 4) AS jacc
+        |FROM s a JOIN s b ON a.doc_id < b.doc_id
+        |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+        |   (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.5
+        |ORDER BY doc_a, doc_b""".stripMargin,
+    "q16_exact_dedup" ->
+      """SELECT min(doc_id) AS keeper_id, count(*) AS dup_count
+        | FROM documents GROUP BY text ORDER BY keeper_id""".stripMargin,
+    "q17_minhash_lsh_dedup" ->
+      """WITH s AS (SELECT doc_id, list_distinct(
+        |   [t[i] || ' ' || t[i+1] || ' ' || t[i+2] FOR i IN range(1, len(t)-1)]) AS sh
+        |  FROM (SELECT doc_id,
+        |    list_filter(regexp_split_to_array(text,'\s+'), x -> x <> '') AS t
+        |    FROM documents))
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+        |   (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 4) AS jacc
+        |FROM s a JOIN s b ON a.doc_id < b.doc_id
+        |WHERE round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+        |   (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 4) >= 0.5
+        |ORDER BY doc_a, doc_b""".stripMargin,
+    "q19_knn_brute" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |scored AS (SELECT q.vec_id AS q_id, n.vec_id AS n_id,
+        |  list_dot_product(q.v, n.v) /
+        |   (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(n.v, n.v))) AS c
+        | FROM e q JOIN e n ON q.vec_id < 10 AND q.vec_id <> n.vec_id)
+        |SELECT q_id, n_id, rank, round(c, 4) AS cos FROM (
+        | SELECT q_id, n_id, c,
+        |  row_number() OVER (PARTITION BY q_id ORDER BY c DESC, n_id ASC) AS rank
+        | FROM scored) WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
+    "q20_cosine_pairs" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+        |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        | round(list_dot_product(a.v, b.v) /
+        |  (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 4)
+        |  AS cos
+        |FROM e a JOIN e b ON a.vec_id < b.vec_id
+        |WHERE list_dot_product(a.v, b.v) /
+        |  (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.4
+        |ORDER BY vec_a, vec_b""".stripMargin,
+    "q21_label_stats" ->
+      """WITH e AS (SELECT label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+        |SELECT label, count(*) AS n,
+        | round(avg(sqrt(list_dot_product(v, v))), 4) AS mean_norm
+        |FROM e GROUP BY label ORDER BY label""".stripMargin
+  )
 }

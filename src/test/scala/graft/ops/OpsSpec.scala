@@ -1,0 +1,83 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkTestBase
+
+class OpsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+  private val sf = "/root/testdata/sf0.001"
+  private lazy val docs = spark.read.parquet(s"$sf/documents.parquet").cache()
+  private lazy val emb = spark.read.parquet(s"$sf/embeddings.parquet").cache()
+
+  test("minhash LSH dedup finds exactly the brute-force jaccard>=0.5 pairs") {
+    val lsh = DedupOps.minhashLshDedup(docs, 0.5)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = TextOps.ngramJaccardPairs(docs, 0.5)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh === brute, s"LSH=${lsh.size} brute=${brute.size}")
+    assert(brute.nonEmpty, "fixture should contain planted near-dup docs")
+  }
+
+  test("simhash dedup finds the planted near-dup docs too") {
+    val sim = DedupOps.simhashDedup(docs)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = TextOps.ngramJaccardPairs(docs, 0.5)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // simhash at <=25 bits is a different (stricter/looser) metric; require
+    // it recovers at least 90% of the very-near pairs (j ~ 0.98 fixtures)
+    val recovered = brute.intersect(sim).size.toDouble / brute.size
+    assert(recovered >= 0.9, s"simhash recovered $recovered of jaccard pairs")
+  }
+
+  test("exact dedup keeps one keeper per distinct text") {
+    val out = DedupOps.exactDedup(docs)
+    assert(out.count() === docs.select("text").distinct().count())
+    assert(out.agg(sum("dup_count")).collect()(0).getLong(0) === docs.count())
+  }
+
+  test("token count matches n_chars-consistent recomputation") {
+    val out = TextOps.tokenCount(docs)
+    val bad = out.join(docs, "doc_id")
+      .filter(size(split(col("text"), " ")) =!= col("n_tokens")).count()
+    assert(bad === 0) // single-space-separated fixture text
+  }
+
+  test("knn brute force: rank 1 is the max-cosine neighbor, deterministic") {
+    val out = EmbeddingOps.knnBrute(emb, nQueries = 3, k = 5).collect()
+    assert(out.length === 15)
+    val byQ = out.groupBy(_.getLong(0))
+    byQ.foreach { case (_, rows) =>
+      val cos = rows.sortBy(_.getInt(2)).map(_.getDouble(3))
+      assert(cos.zip(cos.tail).forall { case (x, y) => x >= y }, "not sorted")
+    }
+    val again = EmbeddingOps.knnBrute(emb, nQueries = 3, k = 5).collect()
+    assert(out.map(_.toString).toSeq === again.map(_.toString).toSeq)
+  }
+
+  test("LSH ANN pairs recall vs exact cosine pairs at 0.4") {
+    val exact = EmbeddingOps.cosinePairs(emb, 0.4)
+      .select("vec_a", "vec_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ann = EmbeddingOps.lshCosinePairs(emb, 0.4)
+      .select("vec_a", "vec_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // ANN is approximate; every ANN pair must be a true pair (verify step),
+    // recall is best-effort but should be substantial with multi-probe
+    assert(ann.subsetOf(exact))
+    if (exact.nonEmpty)
+      assert(ann.size.toDouble / exact.size >= 0.5,
+        s"ANN recall ${ann.size}/${exact.size}")
+  }
+
+  test("fingerprint is order-sensitive") {
+    import spark.implicits._
+    val t = Seq((1L, "ab"), (2L, "ba")).toDF("doc_id", "text")
+    val fp = TextOps.fingerprint(t).collect().map(_.getLong(1))
+    assert(fp(0) !== fp(1))
+  }
+}

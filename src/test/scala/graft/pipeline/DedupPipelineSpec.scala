@@ -1,0 +1,100 @@
+package graft.pipeline
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkTestBase
+import graft.images.SyntheticCorpus
+
+class DedupPipelineSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+
+  test("end-to-end recall >= 0.99 vs planted truth AND vs brute-force oracle") {
+    val cfg = DedupConfig()
+    val (images, truth) = SyntheticCorpus.generate(spark, nGroups = 30,
+      variantsPerGroup = 3, nDistractors = 20)
+    images.cache(); truth.cache()
+
+    val clusters = Dedup.run(images, cfg)
+    val predicted = Dedup.clusterPairs(clusters).cache()
+
+    // 1) recall vs planted groups (the north-rule gate)
+    val tl = truth.select(col("group_id"), col("image_id").as("a"))
+    val tr = truth.select(col("group_id"), col("image_id").as("b"))
+    // substring-caption rows (idx 99) are linked by caption containment, not
+    // pixel similarity — they are in-scope for the pipeline but excluded from
+    // the *pixel* truth set only when the substring pass is disabled; here the
+    // full pipeline runs, so the full pair set is the gate.
+    val truthPairs = tl.join(tr, "group_id").filter(col("a") < col("b"))
+      .select("a", "b").cache()
+    val total = truthPairs.count()
+    val hit = truthPairs.join(predicted, Seq("a", "b"), "left_semi").count()
+    val recall = hit.toDouble / total
+    assert(recall >= 0.99, s"recall $recall ($hit/$total)")
+
+    // 2) precision sanity: predicted pairs not in truth should be rare
+    val falsePairs = predicted.join(truthPairs, Seq("a", "b"), "left_anti").count()
+    assert(falsePairs <= predicted.count() / 10,
+      s"$falsePairs false pairs of ${predicted.count()}")
+
+    // 3) brute-force oracle agreement (evaluate_ROC_curve.py's "exact search"):
+    //    every pair within the Hamming threshold must be clustered together
+    val sigs = Dedup.signatures(images, cfg)
+    val l = sigs.select(col("image_id").as("a"), col("sim_hi").as("ah"),
+      col("sim_lo").as("al"))
+    val r = sigs.select(col("image_id").as("b"), col("sim_hi").as("bh"),
+      col("sim_lo").as("bl"))
+    val brute = l.join(r, col("a") < col("b"))
+      .filter(Dedup.hamming128Col(col("ah"), col("al"), col("bh"), col("bl"))
+        <= cfg.maxHamming)
+      .select("a", "b")
+    val bruteTotal = brute.count()
+    val bruteHit = brute.join(predicted, Seq("a", "b"), "left_semi").count()
+    assert(bruteHit.toDouble / bruteTotal >= 0.99,
+      s"LSH missed brute-force pairs: $bruteHit/$bruteTotal")
+  }
+
+  test("signatures are identical across parallelism levels (determinism gate)") {
+    val cfg = DedupConfig()
+    val (images, _) = SyntheticCorpus.generate(spark, 5, 2, 5)
+    val one = Dedup.signatures(images.repartition(1), cfg)
+      .select("image_id", "sim_hi", "sim_lo").collect().sortBy(_.getString(0))
+    val many = Dedup.signatures(images.repartition(7), cfg)
+      .select("image_id", "sim_hi", "sim_lo").collect().sortBy(_.getString(0))
+    assert(one.map(_.toString).toSeq === many.map(_.toString).toSeq)
+  }
+
+  test("substring-caption rows are linked into their group (suffix pass)") {
+    import spark.implicits._
+    val rows = Seq(
+      ("a", "golden sunset over the misty mountain river valley today"),
+      ("b", "prefix words golden sunset over the misty mountain river valley today and more"),
+      ("c", "completely unrelated caption about city lights at night")
+    ).toDF("id", "text")
+    val pairs = SubstringDup.containedPairs(spark, rows).collect()
+    assert(pairs.map(r => (r.getString(0), r.getString(1))).toSet === Set(("a", "b")))
+  }
+
+  test("connected components: chain, clique, singleton") {
+    import spark.implicits._
+    val edges = Seq(("a", "b"), ("b", "c"), ("x", "y")).toDF("a", "b")
+    val vertices = Seq("a", "b", "c", "x", "y", "z").toDF("id")
+    val got = ConnectedComponents.run(spark, edges, vertices)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got === Map("a" -> "a", "b" -> "a", "c" -> "a",
+      "x" -> "x", "y" -> "x", "z" -> "z"))
+  }
+
+  test("hot-bucket cap drops degenerate buckets' excess rows (skew guard)") {
+    import spark.implicits._
+    val cfg = DedupConfig(maxBucketSize = 3)
+    // 10 rows all with identical signatures -> one bucket per band of size 10
+    val sigs = (1 to 10).map(i => (f"id_$i%02d", 0L, 0L, Array.fill(64)(0L)))
+      .toDF("image_id", "sim_hi", "sim_lo", "minhash")
+    val b = Dedup.bands(sigs, cfg.copy(featurize = cfg.featurize))
+    val cands = Dedup.candidates(b, cfg)
+    // capped at 3 per bucket -> at most C(3,2)=3 pairs
+    assert(cands.count() === 3)
+    val stats = Dedup.bucketStats(b, cfg).collect()(0)
+    assert(stats.getAs[Long]("rows_capped") > 0)
+  }
+}
