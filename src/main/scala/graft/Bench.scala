@@ -11,6 +11,11 @@ object Bench {
       .master(s"local[$cpus]")
       .appName("graft-bench")
       .config("spark.sql.shuffle.partitions", cpus)
+      // image rows are ~3KB on disk but cost ~1ms of CPU each to decode:
+      // byte-sized scan splits (default 128MB) starve a decode-heavy stage.
+      // 16MB splits keep every core in balanced waves; at real cluster scale
+      // this is the same per-workload knob, tuned per input.
+      .config("spark.sql.files.maxPartitionBytes", "16m")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")

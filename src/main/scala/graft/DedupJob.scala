@@ -26,7 +26,14 @@ object DedupJob {
     val stages = new StageRunner(io, spark, cfgHash)
 
     val sigs = stages.stage("signatures")(Dedup.signatures(images, cfg))
-    val bands = stages.stage("bands")(Dedup.bands(sigs, cfg))
+    // persist the band table range-partitioned + sorted on the bucket key —
+    // the reference's ordered index layout (T1, simhashsearchindex.hpp:98-99)
+    // as a columnar table: bucket probes become partition-pruned scans and
+    // the sorted-neighbor pass reads presorted runs
+    val bands = stages.stage("bands")(
+      Dedup.bands(sigs, cfg)
+        .repartitionByRange(col("band_id"), col("band_key"), col("sort_hi"))
+        .sortWithinPartitions("band_id", "band_key", "sort_hi", "sort_lo"))
     val cands = stages.stage("candidates")(Dedup.candidates(bands, cfg))
     val pairs = stages.stage("pairs")(
       Dedup.verified(cands, sigs, cfg)
@@ -43,7 +50,7 @@ object DedupJob {
       ("band_rows", bands.count()),
       ("buckets", skew.getAs[Long]("buckets")),
       ("max_bucket", skew.getAs[Long]("max_bucket")),
-      ("rows_capped_by_skew_guard", skew.getAs[Long]("rows_capped")),
+      ("hot_buckets_above_threshold", skew.getAs[Long]("hot_buckets")),
       ("candidate_pairs", cands.count()),
       ("verified_pairs", pairs.count()),
       ("clusters", clusters.select("cluster_id").distinct().count())

@@ -163,6 +163,27 @@ object SparkEntry {
       import s.implicits._
       val (hi, lo) = Fixtures.fiveNodeCfgSimHash()
       Seq(("five_node_cfg", f"$hi%016x$lo%016x")).toDF("name", "simhash_hex")
+    }),
+    "q27_cos_histogram" -> ((s, dir) => {
+      // A4 analog: pair-distance histogram (evalsimhashweights.cpp:52-99)
+      val e = rd(s, dir, "embeddings")
+      val withNorm = e.select(col("vec_id"), col("embedding"),
+        EmbeddingOps.normCol(col("embedding")).as("nrm"))
+      val a = withNorm.select(col("vec_id").as("a"),
+        col("embedding").as("a_emb"), col("nrm").as("a_nrm"))
+        .repartition(s.sparkContext.defaultParallelism)
+      val b = withNorm.select(col("vec_id").as("b"),
+        col("embedding").as("b_emb"), col("nrm").as("b_nrm"))
+      a.join(broadcast(b), col("a") < col("b"))
+        .select((round(EmbeddingOps.dotUdf(col("a_emb"), col("b_emb")) /
+          (col("a_nrm") * col("b_nrm")), 1)).as("cos_bucket"))
+        .groupBy("cos_bucket").agg(count(lit(1)).as("n"))
+        .orderBy("cos_bucket")
+    }),
+    "q28_cfg_json_scan" -> ((s, _) => {
+      import s.implicits._
+      graft.cfg.CfgSparkOps.fromJson(
+        Seq(Fixtures.diamondCfgJson).toDF("value")).orderBy("name")
     })
   )
 

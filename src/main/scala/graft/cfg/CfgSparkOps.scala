@@ -1,0 +1,79 @@
+package graft.cfg
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.core.{SimHash, SimHashConfig}
+
+/** Spark-side CFG ingestion: the reference's JSON graph scan (S2,
+  * `Disassembly::LoadFromJSONStream`, `disassembly.cpp:53-65`; wire format
+  * `flowgraphwithinstructions.cpp:25-76`) as a `from_json` nested-schema scan
+  * plus a row-local kernel UDF — one CFG per row, no RDDs.
+  */
+object CfgSparkOps {
+
+  /** The reference's JSON wire schema: `{name, nodes:[{address,
+    * instructions:[{mnemonic, operands:[...]}]}], edges:[{source,
+    * destination}]}`. */
+  val cfgJsonSchema: StructType = StructType(Seq(
+    StructField("name", StringType),
+    StructField("nodes", ArrayType(StructType(Seq(
+      StructField("address", LongType),
+      StructField("instructions", ArrayType(StructType(Seq(
+        StructField("mnemonic", StringType),
+        StructField("operands", ArrayType(StringType)))))))))),
+    StructField("edges", ArrayType(StructType(Seq(
+      StructField("source", LongType),
+      StructField("destination", LongType)))))))
+
+  private def toCfg(nodes: Seq[Row], edges: Seq[Row]): Cfg = {
+    val g = new Cfg
+    Option(nodes).getOrElse(Nil).foreach { n =>
+      val addr = n.getLong(0)
+      g.addNode(addr)
+      val ins = Option(n.getSeq[Row](1)).getOrElse(Nil).map { i =>
+        CfgInstruction(i.getString(0),
+          Option(i.getSeq[String](1)).getOrElse(Nil))
+      }
+      g.setInstructions(addr, ins)
+    }
+    Option(edges).getOrElse(Nil).foreach(e => g.addEdge(e.getLong(0), e.getLong(1)))
+    g
+  }
+
+  /** JSON lines of CFGs → (name, n_nodes, branching_nodes, passes_min_size,
+    * simhash_hex). `passes_min_size` is filter F1 (`branching_nodes >
+    * minimum_function_size`, default 5, `addfunctionstoindex.cpp:103-111`). */
+  def fromJson(jsonLines: DataFrame, minSize: Int = 5): DataFrame = {
+    val kernel = udf((name: String, nodes: Seq[Row], edges: Seq[Row]) => {
+      val g = toCfg(nodes, edges)
+      val (hi, lo) = SimHash.simhash128(CfgFeaturizer.features(g), SimHashConfig())
+      (if (name == null) "" else name, g.size, g.branchingNodeCount,
+        f"$hi%016x$lo%016x")
+    })
+    jsonLines
+      .select(from_json(col("value"), cfgJsonSchema).as("g"))
+      .select(kernel(col("g.name"), col("g.nodes"), col("g.edges")).as("r"))
+      .select(col("r._1").as("name"), col("r._2").as("n_nodes"),
+        col("r._3").as("branching_nodes"),
+        (col("r._3") > minSize).as("passes_min_size"),
+        col("r._4").as("simhash_hex"))
+  }
+
+  /** F4 — `no_shared_blocks` (`disassembly.cpp:248-263`,
+    * `addfunctionstoindex.cpp:34,90-93`): drop records that share a basic
+    * block with any other record (disassembler artifacts). Relationally: an
+    * anti-join against the multiply-owned block addresses. `cfgs` must have
+    * a unique `name` column and the parsed `g` struct (see `cfgJsonSchema`).
+    */
+  def dropSharedBlocks(cfgs: DataFrame): DataFrame = {
+    val ownership = cfgs.select(col("g.name").as("name"),
+      explode(col("g.nodes.address")).as("address"))
+    val shared = ownership.groupBy("address")
+      .agg(countDistinct("name").as("owners"))
+      .filter(col("owners") > 1)
+      .select("address")
+    val dropNames = ownership.join(shared, "address").select("name").distinct()
+    cfgs.join(dropNames, cfgs("g.name") === dropNames("name"), "left_anti")
+  }
+}

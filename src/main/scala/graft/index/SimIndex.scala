@@ -1,0 +1,88 @@
+package graft.index
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.lsh.Bands
+import graft.pipeline.{Dedup, DedupConfig}
+
+/** The reference's primary API re-expressed as DataFrame transforms:
+  * `SimHashSearchIndex.AddFunction` / `QueryTopN`
+  * (`searchbackend/simhashsearchindex.cpp:48-187`, surfaced in
+  * `pybindings.cpp:360-517` as add_function/query_top_N).
+  *
+  * The index is a table, not a file: one row per (permutation, bucket)
+  * per record, range-layout-friendly (write it `repartitionByRange(band_id,
+  * band_key)` + `sortWithinPartitions` to parquet/Iceberg and bucket probes
+  * become partition-pruned scans). Queries are a small batch broadcast
+  * against the index — the reference's per-query `lower_bound` bucket scan
+  * becomes one equi-join on (band_id, band_key).
+  */
+object SimIndex {
+
+  /** Build index rows from signatures `(id, sim_hi, sim_lo)`. Append = just
+    * union/append more rows (the reference's index-file append, K1). */
+  def build(sigs: DataFrame, cfg: DedupConfig = DedupConfig()): DataFrame = {
+    val nb = cfg.nBands; val pb = cfg.prefixBits
+    val bandsUdf = udf((hi: Long, lo: Long) => Bands.simhashBands(hi, lo, nb, pb))
+    sigs.select(col("id"), col("sim_hi"), col("sim_lo"),
+        explode(bandsUdf(col("sim_hi"), col("sim_lo"))).as("bk"))
+      .select(col("bk.band_id").as("band_id"), col("bk.band_key").as("band_key"),
+        col("id"), col("sim_hi"), col("sim_lo"))
+  }
+
+  /** Top-N most-similar index entries per query, reference semantics:
+    * probe the query's `nBands` permuted buckets, full-width Hamming on every
+    * collision, dedup per candidate (A3), `similarity = 128 - distance`,
+    * keep `similarity > minSimilarity*128` (strict, F5,
+    * `matchfunctionsfromindex.cpp:165`), rank by (distance asc, id asc) and
+    * take N (`simhashsearchindex.cpp:111-136`).
+    *
+    * @param queries `(query_id, sim_hi, sim_lo)` — small batch (broadcast)
+    */
+  def queryTopN(index: DataFrame, queries: DataFrame, n: Int,
+      minSimilarity: Double, cfg: DedupConfig = DedupConfig()): DataFrame = {
+    val nb = cfg.nBands; val pb = cfg.prefixBits
+    val bandsUdf = udf((hi: Long, lo: Long) => Bands.simhashBands(hi, lo, nb, pb))
+    val probes = queries.select(col("query_id"),
+        col("sim_hi").as("q_hi"), col("sim_lo").as("q_lo"),
+        explode(bandsUdf(col("sim_hi"), col("sim_lo"))).as("bk"))
+      .select(col("bk.band_id").as("band_id"), col("bk.band_key").as("band_key"),
+        col("query_id"), col("q_hi"), col("q_lo"))
+    val hits = broadcast(probes)
+      .join(index, Seq("band_id", "band_key"))
+      .select(col("query_id"), col("id"),
+        Dedup.hamming128Col(col("q_hi"), col("q_lo"),
+          col("sim_hi"), col("sim_lo")).as("dist"))
+      .groupBy("query_id", "id").agg(min("dist").as("dist"))
+      .withColumn("similarity", lit(128) - col("dist"))
+      .filter(col("similarity") > lit(minSimilarity * 128))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("dist").asc, col("id").asc)
+    hits.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= n)
+      .select("query_id", "id", "similarity", "rank")
+  }
+
+  /** `GetOddsOfRandomHit` (`simhashsearchindex.cpp:142-157`): expected count
+    * of random >= this-similar matches given index size — the Gaussian-tail
+    * significance estimate attached to each result. */
+  def oddsOfRandomHit(similarity: Int, indexedRecords: Long): Double = {
+    // P(random 128-bit hamming distance <= 128 - similarity), normal approx
+    // of Binomial(128, 0.5): mean 64, sd sqrt(32)
+    val dist = 128 - similarity
+    val z = (dist - 64.0) / math.sqrt(32.0)
+    val p = 0.5 * (1.0 + erf(z / math.sqrt(2.0)))
+    p * indexedRecords
+  }
+
+  /** Abramowitz–Stegun 7.1.26 erf approximation (|err| < 1.5e-7). */
+  private def erf(x: Double): Double = {
+    val sign = if (x < 0) -1.0 else 1.0
+    val a = math.abs(x)
+    val t = 1.0 / (1.0 + 0.3275911 * a)
+    val y = 1.0 - (((((1.061405429 * t - 1.453152027) * t) + 1.421413741) * t -
+      0.284496736) * t + 0.254829592) * t * math.exp(-a * a)
+    sign * y
+  }
+}

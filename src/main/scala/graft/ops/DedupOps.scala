@@ -74,9 +74,8 @@ object DedupOps {
       graft.featurize.Signature(hi, lo, Array.empty[Long])
     })
     val bandUdf = udf((hi: Long, lo: Long) =>
-      Bands.simhashBands(hi, lo, nBands, prefixBits).map {
-        case (b, key) => graft.pipeline.BandKey(b, key)
-      })
+      Bands.simhashBands(hi, lo, nBands, prefixBits).map(r =>
+        graft.pipeline.BandKey(r.band_id, r.band_key)))
     val sigs = docs
       .select(col("doc_id"), TextOps.tokensCol(col("text")).as("toks"))
       .withColumn("sig", simUdf(col("toks")))

