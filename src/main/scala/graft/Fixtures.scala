@@ -11,9 +11,11 @@ object Fixtures {
 
   /** The 5-node CFG of `disassembly/flowgraphwithinstructions_test.cpp:24-57`
     * (function 0x806C811 of unrar.x86.Os). The reference pins
-    * `0xACEB07449170DFCF 0x56df46c771e9a4df` under libstdc++ std::hash; our
-    * golden (pinned in CfgParitySpec) differs because the string hash is the
-    * documented FNV-1a replacement (SURVEY.md §2.9 C6). */
+    * `0xACEB07449170DFCF 0x56df46c771e9a4df`, and CfgParitySpec asserts we
+    * match it bit-exactly DESPITE the documented FNV-1a substitution for
+    * libstdc++ std::hash (SURVEY.md §2.9 C6): mnemonic contributions are
+    * bounded (|sum| <= 0.55 at weight 0.05) and cannot flip graphlet-decided
+    * accumulator signs, which are odd integers with |.| >= 1. */
   def fiveNodeCfg(): Cfg = {
     val g = new Cfg
     val nodes: Seq[(Long, Seq[CfgInstruction])] = Seq(

@@ -21,13 +21,18 @@ import graft.pipeline.{Dedup, DedupConfig}
 object SimIndex {
 
   /** Build index rows from signatures `(id, sim_hi, sim_lo)`. Append = just
-    * union/append more rows (the reference's index-file append, K1). */
+    * union/append more rows (the reference's index-file append, K1).
+    * Carries BOTH the un-permuted signature (`sim_hi/sim_lo`, for the
+    * full-width Hamming verify) and the permuted band words
+    * (`sort_hi/sort_lo` — what the reference's `IndexEntry` actually stores,
+    * `simhashsearchindex.hpp:91-99`, and what `DumpIndexToStdout` prints). */
   def build(sigs: DataFrame, cfg: DedupConfig = DedupConfig()): DataFrame = {
     val nb = cfg.nBands; val pb = cfg.prefixBits
     val bandsUdf = udf((hi: Long, lo: Long) => Bands.simhashBands(hi, lo, nb, pb))
     sigs.select(col("id"), col("sim_hi"), col("sim_lo"),
         explode(bandsUdf(col("sim_hi"), col("sim_lo"))).as("bk"))
       .select(col("bk.band_id").as("band_id"), col("bk.band_key").as("band_key"),
+        col("bk.sort_hi").as("sort_hi"), col("bk.sort_lo").as("sort_lo"),
         col("id"), col("sim_hi"), col("sim_lo"))
   }
 
@@ -64,16 +69,16 @@ object SimIndex {
       .select("query_id", "id", "similarity", "rank")
   }
 
-  /** `GetOddsOfRandomHit` (`simhashsearchindex.cpp:142-157`): expected count
-    * of random >= this-similar matches given index size — the Gaussian-tail
-    * significance estimate attached to each result. */
+  /** `GetOddsOfRandomHit` (`simhashsearchindex.cpp:142-157`), same
+    * direction and scale as the reference: "such a deviation would occur by
+    * chance once every RESULT searches" — BIGGER is better; < 1 means the
+    * match is probably random. Normal approximation of Binomial(128, 0.5)
+    * (mean 64, sd sqrt(32)): `1 / (1 - erf(z/sqrt 2)) / indexedRecords`
+    * where z = |similarity - 64| / sd. */
   def oddsOfRandomHit(similarity: Int, indexedRecords: Long): Double = {
-    // P(random 128-bit hamming distance <= 128 - similarity), normal approx
-    // of Binomial(128, 0.5): mean 64, sd sqrt(32)
-    val dist = 128 - similarity
-    val z = (dist - 64.0) / math.sqrt(32.0)
-    val p = 0.5 * (1.0 + erf(z / math.sqrt(2.0)))
-    p * indexedRecords
+    val sd = math.sqrt(128.0 * 0.5 * 0.5)
+    val z = math.abs(similarity - 64.0) / sd
+    1.0 / (1.0 - erf(z / math.sqrt(2.0))) / indexedRecords
   }
 
   /** Abramowitz–Stegun 7.1.26 erf approximation (|err| < 1.5e-7). */

@@ -12,6 +12,9 @@ import org.apache.spark.sql.functions._
   * near-cliques (diameter 2-3). So:
   *  - propagation runs ONLY over vertices incident to an edge; the (vast)
   *    singleton majority never enters the loop and is unioned back at the end;
+  *  - each round combines one-hop neighbor propagation with pointer
+  *    doubling (label := label's label), so convergence takes O(log D)
+  *    rounds, not O(D) — long chains cannot outrun the iteration budget;
   *  - convergence is detected with a single partial-aggregable hash-sum over
   *    the label table (one narrow job) instead of a join against the
   *    previous iteration (a shuffle per iteration);
@@ -51,12 +54,23 @@ object ConnectedComponents {
     var converged = false
     var iter = 0
     while (!converged && iter < maxIters) {
+      // (1) neighbor propagation: pull the minimum label one hop
       val fromNeighbors = sym
         .join(labels, sym("src") === labels("id"))
         .select(col("dst").as("id"), col("cluster_id"))
-      val next = labels.select(col("id"), col("cluster_id"))
+      val hop = labels.select(col("id"), col("cluster_id"))
         .union(fromNeighbors)
         .groupBy("id").agg(min("cluster_id").as("cluster_id"))
+      // (2) pointer doubling: replace each label by its label's label, so a
+      // chain of length D collapses in O(log D) rounds instead of O(D) —
+      // degenerate identical-signature runs (sorted-neighbor W-chains) have
+      // diameter ~run_length/W and would otherwise outrun any fixed budget
+      val parents = hop.select(col("id").as("p_id"), col("cluster_id").as("p_cluster"))
+      val next = hop
+        .join(parents, hop("cluster_id") === parents("p_id"), "left")
+        .select(hop("id"),
+          least(hop("cluster_id"), coalesce(col("p_cluster"), hop("cluster_id")))
+            .as("cluster_id"))
         .localCheckpoint()
       val nextFp = labelFingerprint(next)
       labels = next
@@ -64,6 +78,10 @@ object ConnectedComponents {
       fp = nextFp
       iter += 1
     }
+    require(converged,
+      s"connected components did not converge after $maxIters doubling rounds" +
+        " (diameter > 2^maxIters is impossible for any physical edge set —" +
+        " this indicates a fingerprint collision or a bug)")
     // singletons (no incident edge) are their own cluster
     val singletons = vertices.join(labels.select("id"), Seq("id"), "left_anti")
       .select(col("id"), col("id").as("cluster_id"))

@@ -74,13 +74,21 @@ object RefFormats {
   }
 
   /** U2 — global deduplicated feature ids: distinct features numbered
-    * deterministically (dense_rank over the hash order stands in for the
-    * reference's insertion-order vector index — stable, partition-safe). */
+    * deterministically in hash order (stands in for the reference's
+    * insertion-order vector index, `trainingdata.cpp:77-89`). Ids come from
+    * `zipWithIndex` over the range-sorted distinct set — every partition
+    * stays parallel (an `orderBy` is a range shuffle), unlike a global
+    * un-partitioned window which funnels all features through one task. */
   def featureIds(features: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    features.select("feature_hi", "feature_lo").distinct()
-      .withColumn("feature_id",
-        dense_rank().over(Window.orderBy("feature_hi", "feature_lo")) - 1)
+    val spark = features.sparkSession
+    val sorted = features.select("feature_hi", "feature_lo").distinct()
+      .orderBy("feature_hi", "feature_lo")
+    val indexed = sorted.rdd.zipWithIndex.map { case (r, i) =>
+      org.apache.spark.sql.Row(r.getLong(0), r.getLong(1), i)
+    }
+    spark.createDataFrame(indexed, org.apache.spark.sql.types.StructType(
+      sorted.schema.fields :+ org.apache.spark.sql.types.StructField(
+        "feature_id", org.apache.spark.sql.types.LongType, nullable = false)))
   }
 
   /** S7 — attract.txt / repulse.txt: `fileid:addr fileid:addr` pairs
@@ -107,13 +115,23 @@ object RefFormats {
       min("dist").as("min_dist"), max("dist").as("max_dist"))
   }
 
-  /** K2 — index dump sink: sorted 5-column text
-    * (`simhashsearchindex.cpp:213-229`: perm, hashA, hashB, then id). */
-  def dumpIndex(index: DataFrame, path: String): Unit =
-    index.orderBy("band_id", "band_key", "sort_hi", "id")
-      .select(concat_ws(" ", col("band_id"), hex(col("sim_hi")),
-        hex(col("sim_lo")), col("id")).as("value"))
+  /** K2 — index dump sink: sorted text mirroring `DumpIndexToStdout`
+    * (`simhashsearchindex.cpp:213-229`): per index entry the permutation id
+    * and the STORED (permuted) hash words as `%16.16lx` (zero-padded
+    * lowercase), then the record id — ordered like the reference's
+    * `std::set<IndexEntry>`, i.e. by (perm, hashA, hashB, id) with the hash
+    * words compared as unsigned 64-bit values. */
+  def dumpIndex(index: DataFrame, path: String): Unit = {
+    def unsigned(c: org.apache.spark.sql.Column) =
+      c.bitwiseXOR(lit(Long.MinValue))
+    def hex16(c: org.apache.spark.sql.Column) =
+      lower(lpad(hex(c), 16, "0"))
+    index.orderBy(col("band_id"), unsigned(col("sort_hi")),
+        unsigned(col("sort_lo")), col("id"))
+      .select(concat_ws(" ", col("band_id"), hex16(col("sort_hi")),
+        hex16(col("sort_lo")), col("id")).as("value"))
       .write.mode("overwrite").text(path)
+  }
 
   /** K4 — fingerprint sink: `key hex128` lines
     * (`tools/functionfingerprints.cpp:117-141`). */

@@ -60,11 +60,15 @@ class SimIndexSpec extends AnyFunSuite {
     assert(SimIndex.queryTopN(index, q, 5, 0.8).count() === 0)
   }
 
-  test("oddsOfRandomHit: monotonic in similarity, scales with index size") {
+  test("oddsOfRandomHit: reference direction (bigger = better), scales 1/N") {
+    // simhashsearchindex.cpp:142-157 semantics: expected searches per random
+    // hit at this similarity — HIGHER similarity => larger (rarer) odds
     val o100 = SimIndex.oddsOfRandomHit(100, 1000000)
     val o90 = SimIndex.oddsOfRandomHit(90, 1000000)
-    assert(o100 < o90)
-    assert(SimIndex.oddsOfRandomHit(100, 2000000) === 2 * o100)
-    assert(SimIndex.oddsOfRandomHit(64, 100) > 40) // ~half the index matches at sim 64
+    assert(o100 > o90)
+    // doubling the index halves the odds (twice as many chances to collide)
+    assert(SimIndex.oddsOfRandomHit(100, 2000000) === o100 / 2)
+    // at sim 64 (pure chance) the formula bottoms out at 1/N
+    assert(math.abs(SimIndex.oddsOfRandomHit(64, 100) - 0.01) < 1e-9)
   }
 }

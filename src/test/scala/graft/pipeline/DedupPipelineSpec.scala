@@ -84,6 +84,18 @@ class DedupPipelineSpec extends AnyFunSuite {
       "x" -> "x", "y" -> "x", "z" -> "z"))
   }
 
+  test("connected components: 600-node chain converges (pointer doubling, O(log D))") {
+    import spark.implicits._
+    // one-hop-per-iteration propagation needs 600 rounds for this chain and
+    // silently returned split clusters at maxIters=25; doubling needs ~10
+    val n = 600
+    val edges = (0 until n - 1).map(i => (f"v$i%04d", f"v${i + 1}%04d")).toDF("a", "b")
+    val vertices = (0 until n).map(i => f"v$i%04d").toDF("id")
+    val got = ConnectedComponents.run(spark, edges, vertices)
+    assert(got.select("cluster_id").distinct().count() === 1)
+    assert(got.filter(col("cluster_id") === "v0000").count() === n)
+  }
+
   test("degenerate identical-signature run: linear chain pairs, no quadratic blowup (skew guard)") {
     import spark.implicits._
     val cfg = DedupConfig(sortedWindow = 8, hotBucketThreshold = 5)

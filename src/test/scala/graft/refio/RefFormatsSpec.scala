@@ -62,7 +62,7 @@ class RefFormatsSpec extends AnyFunSuite {
     assert(features.count() === 4)
     val ids = RefFormats.featureIds(features)
     assert(ids.count() === 3) // global dedup: f1 and f2 share a feature
-    assert(ids.agg(max("feature_id")).collect()(0).getInt(0) === 2)
+    assert(ids.agg(max("feature_id")).collect()(0).getLong(0) === 2L)
 
     // pair stats over simhashes derived from those features
     import spark.implicits._
@@ -93,7 +93,21 @@ class RefFormatsSpec extends AnyFunSuite {
     assert(line === "rec_1 0123456789abcdeffedcba9876543210")
     val index = graft.index.SimIndex.build(sigs)
     RefFormats.dumpIndex(index, s"$dir/dump")
-    assert(spark.read.text(s"$dir/dump").count() === 28) // one line per band
+    val dumped = spark.read.text(s"$dir/dump").collect().map(_.getString(0))
+    assert(dumped.length === 28) // one line per band
+    // permutation 0 is the identity (bitpermutation.cpp:37-45): its stored
+    // words are the raw signature, %16.16lx-formatted like DumpIndexToStdout
+    assert(dumped.head === "0 0123456789abcdef fedcba9876543210 rec_1")
+    // every line carries the PERMUTED words: parse back and verify each
+    // matches the k-times-iterated permutation of the signature
+    dumped.foreach { line =>
+      val Array(b, hiHex, loHex, id) = line.split(" ")
+      val expect = graft.core.BitPermutation.nPermutations(
+        graft.core.U128(0x0123456789abcdefL, 0xfedcba9876543210L), 28)(b.toInt)
+      assert(java.lang.Long.parseUnsignedLong(hiHex, 16) === expect.hi)
+      assert(java.lang.Long.parseUnsignedLong(loHex, 16) === expect.lo)
+      assert(id === "rec_1")
+    }
   }
 
   test("C9 executableId: big-endian first 8 bytes of sha256") {
