@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Shared-evidence dumps for the DuckDB correctness oracle.
+  *
+  * Hash-kernel outputs (SimHash bits, LSH band keys, MinHash slots) have no
+  * ANSI-SQL derivation — but everything DOWNSTREAM of them (band equi-joins,
+  * sorted-neighbor windows, Hamming `bit_count(xor)` verification, Jaccard
+  * slot agreement, connected components, recall joins) is pure relational
+  * algebra. Queries dump the kernel outputs to a fixed path; the paired
+  * `oracleSql` re-derives the final result from that dump in DuckDB, so the
+  * driver's oracle gate covers the relational half of every pipeline while
+  * ScalaTest goldens (bit-exact reference parity, recall gates) cover the
+  * kernels themselves.
+  */
+object OracleDump {
+  val Root = "/tmp/graft_oracle"
+
+  /** Write `df` under the fixed oracle root and read it back, so both
+    * engines consume byte-identical parquet evidence. */
+  def dump(name: String, df: DataFrame): DataFrame = {
+    val p = s"$Root/$name"
+    df.write.mode("overwrite").parquet(p)
+    df.sparkSession.read.parquet(p)
+  }
+
+  /** Glob for `read_parquet` in oracle SQL. */
+  def glob(name: String): String = s"$Root/$name/*.parquet"
+
+  private val corpusLock = new Object
+
+  /** Materialize the deterministic synthetic image corpus ONCE per parameter
+    * set and serve it from parquet: queries measure pipeline work, not
+    * corpus synthesis (generation cost was 80+% of q23/q25 wall time when
+    * inlined), and all queries over the same parameters share bytes. */
+  def sharedCorpus(spark: SparkSession, nGroups: Int, variants: Int,
+      distractors: Int): (DataFrame, DataFrame) = corpusLock.synchronized {
+    val dir = s"$Root/corpus_${nGroups}_${variants}_$distractors"
+    if (!new java.io.File(s"$dir/_done").exists) {
+      val (images, truth) = graft.images.SyntheticCorpus.generate(
+        spark, nGroups, variants, distractors)
+      images.write.mode("overwrite").parquet(s"$dir/images")
+      truth.write.mode("overwrite").parquet(s"$dir/truth")
+      new java.io.File(s"$dir/_done").createNewFile()
+    }
+    (spark.read.parquet(s"$dir/images"), spark.read.parquet(s"$dir/truth"))
+  }
+}

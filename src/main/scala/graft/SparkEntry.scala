@@ -125,39 +125,66 @@ object SparkEntry {
     "q16_exact_dedup" -> ((s, dir) => DedupOps.exactDedup(rd(s, dir, "documents"))),
     "q17_minhash_lsh_dedup" -> ((s, dir) =>
       DedupOps.minhashLshDedup(rd(s, dir, "documents"), 0.5)),
-    "q18_simhash_dedup" -> ((s, dir) =>
-      DedupOps.simhashDedup(rd(s, dir, "documents"))),
+    "q18_simhash_dedup" -> ((s, dir) => {
+      // kernel half dumped as oracle evidence; relational half (band join +
+      // bit_count Hamming verify) re-derived by DuckDB from the dump
+      val banded = OracleDump.dump("q18_banded",
+        DedupOps.simhashBanded(rd(s, dir, "documents")))
+      DedupOps.simhashPairsFromBands(banded)
+    }),
     // ---- similarity search over embeddings ----
     "q19_knn_brute" -> ((s, dir) => EmbeddingOps.knnBrute(rd(s, dir, "embeddings"))),
     "q20_cosine_pairs" -> ((s, dir) =>
       EmbeddingOps.cosinePairs(rd(s, dir, "embeddings"), 0.4)),
     "q21_label_stats" -> ((s, dir) => EmbeddingOps.labelStats(rd(s, dir, "embeddings"))),
-    "q22_ann_lsh" -> ((s, dir) =>
-      EmbeddingOps.lshCosinePairs(rd(s, dir, "embeddings"), 0.4)),
-    // ---- the image near-dup pipeline (no SQL equivalent → rows-only) ----
+    "q22_ann_lsh" -> ((s, dir) => {
+      val emb = rd(s, dir, "embeddings")
+      val banded = OracleDump.dump("q22_banded", EmbeddingOps.lshBands(emb))
+      val candidates = banded.select(col("bk"), col("vec_id").as("a"))
+        .join(banded.select(col("bk"), col("vec_id").as("b")), "bk")
+        .filter(col("a") < col("b")).select("a", "b").distinct()
+      EmbeddingOps.verifyCosPairs(candidates, emb, 0.4)
+    }),
+    // ---- the image near-dup pipeline: hash kernels dumped as oracle
+    // evidence; the relational stages (sorted-neighbor candidates, Hamming/
+    // Jaccard verify, connected components, recall join) re-derived in
+    // DuckDB. Corpus is materialized once (OracleDump.sharedCorpus) so
+    // query timings measure pipeline work, not image synthesis. ----
     "q23_img_clusters" -> ((s, _) => {
-      val (images, _) = SyntheticCorpus.generate(s, 40, 3, 30)
-      Dedup.run(images, DedupConfig()).orderBy("image_id")
+      val cfg = DedupConfig()
+      val (images, _) = OracleDump.sharedCorpus(s, 40, 3, 30)
+      val sigs = Dedup.signatures(images, cfg).localCheckpoint()
+      val cands = Dedup.candidates(Dedup.bands(sigs, cfg), cfg).localCheckpoint()
+      val pairs = OracleDump.dump("q23_pairs",
+        Dedup.verified(cands, sigs, cfg)
+          .union(Dedup.substringPairs(sigs, cfg)).distinct())
+      OracleDump.dump("q23_ids", images.select("image_id"))
+      Dedup.clusters(images, pairs).orderBy("image_id")
     }),
     "q24_img_pairs" -> ((s, _) => {
       val cfg = DedupConfig()
-      val (images, _) = SyntheticCorpus.generate(s, 40, 3, 30)
-      val sigs = Dedup.signatures(images, cfg).localCheckpoint()
-      Dedup.verified(Dedup.candidates(Dedup.bands(sigs, cfg), cfg), sigs, cfg)
+      val (images, _) = OracleDump.sharedCorpus(s, 40, 3, 30)
+      val sigs = OracleDump.dump("q24_sigs",
+        Dedup.signatures(images, cfg))
+      val bands = OracleDump.dump("q24_bands", Dedup.bands(sigs, cfg))
+      Dedup.verified(Dedup.candidates(bands, cfg), sigs, cfg)
         .orderBy("a", "b")
     }),
     "q25_img_recall" -> ((s, _) => {
       val cfg = DedupConfig()
-      val (images, truth) = SyntheticCorpus.generate(s, 40, 3, 30)
-      val predicted = Dedup.clusterPairs(Dedup.run(images, cfg))
+      val (images, truth) = OracleDump.sharedCorpus(s, 40, 3, 30)
+      val predicted = OracleDump.dump("q25_pred",
+        Dedup.clusterPairs(Dedup.run(images, cfg)))
       val tl = truth.select(col("group_id"), col("image_id").as("a"))
       val tr = truth.select(col("group_id"), col("image_id").as("b"))
-      val truthPairs = tl.join(tr, "group_id").filter(col("a") < col("b"))
-        .select("a", "b")
-      val hit = truthPairs.join(predicted, Seq("a", "b"), "left_semi").count()
-      val total = truthPairs.count()
-      import s.implicits._
-      Seq((hit, total, hit.toDouble / total)).toDF("hit", "total", "recall")
+      val truthPairs = OracleDump.dump("q25_truth",
+        tl.join(tr, "group_id").filter(col("a") < col("b")).select("a", "b"))
+      truthPairs
+        .join(predicted.withColumn("matched", lit(1)), Seq("a", "b"), "left")
+        .agg(sum(when(col("matched").isNotNull, 1L).otherwise(0L)).as("hit"),
+          count(lit(1)).as("total"))
+        .select(col("hit"), col("total"),
+          (col("hit").cast("double") / col("total")).as("recall"))
     }),
     "q26_cfg_simhash" -> ((s, _) => {
       import s.implicits._
@@ -165,16 +192,18 @@ object SparkEntry {
       Seq(("five_node_cfg", f"$hi%016x$lo%016x")).toDF("name", "simhash_hex")
     }),
     "q27_cos_histogram" -> ((s, dir) => {
-      // A4 analog: pair-distance histogram (evalsimhashweights.cpp:52-99)
+      // A4 analog: pair-distance histogram over a LABELED pair set — the
+      // reference histograms attract/repulse pairs (evalsimhashweights
+      // .cpp:52-99), never all pairs. Same-label pairs are the labeled set
+      // here; the join is an equi-join on label, not a cross product.
       val e = rd(s, dir, "embeddings")
-      val withNorm = e.select(col("vec_id"), col("embedding"),
+      val withNorm = e.select(col("vec_id"), col("label"), col("embedding"),
         EmbeddingOps.normCol(col("embedding")).as("nrm"))
-      val a = withNorm.select(col("vec_id").as("a"),
+      val a = withNorm.select(col("label"), col("vec_id").as("a"),
         col("embedding").as("a_emb"), col("nrm").as("a_nrm"))
-        .repartition(s.sparkContext.defaultParallelism)
-      val b = withNorm.select(col("vec_id").as("b"),
+      val b = withNorm.select(col("label"), col("vec_id").as("b"),
         col("embedding").as("b_emb"), col("nrm").as("b_nrm"))
-      a.join(broadcast(b), col("a") < col("b"))
+      a.join(b, "label").filter(col("a") < col("b"))
         .select((round(EmbeddingOps.dotUdf(col("a_emb"), col("b_emb")) /
           (col("a_nrm") * col("b_nrm")), 1)).as("cos_bucket"))
         .groupBy("cos_bucket").agg(count(lit(1)).as("n"))
@@ -289,17 +318,22 @@ object SparkEntry {
         |   AS BIGINT) AS fp_sum
         | FROM documents ORDER BY doc_id""".stripMargin,
     "q15_ngram_jaccard" ->
-      """WITH s AS (SELECT doc_id, list_distinct(
-        |   [t[i] || ' ' || t[i+1] || ' ' || t[i+2] FOR i IN range(1, len(t)-1)]) AS sh
+      """WITH ex AS (SELECT doc_id, unnest(list_distinct(
+        |   [t[i] || ' ' || t[i+1] || ' ' || t[i+2] FOR i IN range(1, len(t)-1)])) AS sh
         |  FROM (SELECT doc_id,
         |    list_filter(regexp_split_to_array(text,'\s+'), x -> x <> '') AS t
-        |    FROM documents))
-        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-        |  round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
-        |   (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 4) AS jacc
-        |FROM s a JOIN s b ON a.doc_id < b.doc_id
-        |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
-        |   (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.5
+        |    FROM documents)),
+        |kept AS (SELECT sh FROM ex GROUP BY sh HAVING count(*) <= 1000),
+        |s AS (SELECT doc_id, ex.sh FROM ex JOIN kept ON ex.sh = kept.sh),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM s GROUP BY doc_id),
+        |inter AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS i
+        |  FROM s x JOIN s y ON x.sh = y.sh AND x.doc_id < y.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT inter.a AS doc_a, inter.b AS doc_b,
+        |  round(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 4) AS jacc
+        |FROM inter JOIN sizes sa ON sa.doc_id = inter.a
+        |  JOIN sizes sb ON sb.doc_id = inter.b
+        |WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.5
         |ORDER BY doc_a, doc_b""".stripMargin,
     "q16_exact_dedup" ->
       """SELECT min(doc_id) AS keeper_id, count(*) AS dup_count
@@ -341,6 +375,89 @@ object SparkEntry {
       """WITH e AS (SELECT label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
         |SELECT label, count(*) AS n,
         | round(avg(sqrt(list_dot_product(v, v))), 4) AS mean_norm
-        |FROM e GROUP BY label ORDER BY label""".stripMargin
+        |FROM e GROUP BY label ORDER BY label""".stripMargin,
+    // ---- dump-evidence oracles: the hash-kernel outputs land in
+    // /tmp/graft_oracle parquet (OracleDump); DuckDB re-derives every
+    // relational stage downstream of them ----
+    "q18_simhash_dedup" ->
+      s"""WITH b AS (SELECT * FROM read_parquet('${OracleDump.glob("q18_banded")}'))
+        |SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
+        |  min(bit_count(xor(x.hi, y.hi)) + bit_count(xor(x.lo, y.lo))) AS dist
+        |FROM b x JOIN b y
+        |  ON x.band_id = y.band_id AND x.band_key = y.band_key
+        |  AND x.doc_id < y.doc_id
+        |GROUP BY 1, 2
+        |HAVING min(bit_count(xor(x.hi, y.hi)) + bit_count(xor(x.lo, y.lo))) <= 25
+        |ORDER BY doc_a, doc_b""".stripMargin,
+    "q22_ann_lsh" ->
+      s"""WITH b AS (SELECT * FROM read_parquet('${OracleDump.glob("q22_banded")}')),
+        |cand AS (SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
+        |  FROM b x JOIN b y ON x.bk = y.bk AND x.vec_id < y.vec_id),
+        |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+        |SELECT cand.a AS vec_a, cand.b AS vec_b,
+        |  round(list_dot_product(ea.v, eb.v) /
+        |   (sqrt(list_dot_product(ea.v, ea.v)) * sqrt(list_dot_product(eb.v, eb.v))), 4)
+        |   AS cos
+        |FROM cand JOIN e ea ON ea.vec_id = cand.a JOIN e eb ON eb.vec_id = cand.b
+        |WHERE list_dot_product(ea.v, eb.v) /
+        |   (sqrt(list_dot_product(ea.v, ea.v)) * sqrt(list_dot_product(eb.v, eb.v))) >= 0.4
+        |ORDER BY vec_a, vec_b""".stripMargin,
+    "q23_img_clusters" ->
+      s"""WITH RECURSIVE pairs AS (
+        |  SELECT a, b FROM read_parquet('${OracleDump.glob("q23_pairs")}')),
+        |sym AS (SELECT a, b FROM pairs UNION SELECT b, a FROM pairs),
+        |reach(src, dst) AS (
+        |  SELECT a, b FROM sym
+        |  UNION
+        |  SELECT r.src, s.b FROM reach r JOIN sym s ON r.dst = s.a)
+        |SELECT v.image_id,
+        |  least(v.image_id, coalesce(min(r.dst), v.image_id)) AS cluster_id
+        |FROM read_parquet('${OracleDump.glob("q23_ids")}') v
+        |LEFT JOIN reach r ON r.src = v.image_id
+        |GROUP BY v.image_id ORDER BY v.image_id""".stripMargin,
+    "q24_img_pairs" ->
+      s"""WITH b AS (SELECT * FROM read_parquet('${OracleDump.glob("q24_bands")}')),
+        |r AS (SELECT *, row_number() OVER (
+        |    PARTITION BY band_id, band_key
+        |    ORDER BY xor(sort_hi, -9223372036854775807 - 1),
+        |             xor(sort_lo, -9223372036854775807 - 1), image_id) AS rn
+        |  FROM b),
+        |cand0 AS (SELECT
+        |    CASE WHEN x.image_id < y.image_id THEN x.image_id ELSE y.image_id END AS a,
+        |    CASE WHEN x.image_id < y.image_id THEN y.image_id ELSE x.image_id END AS b,
+        |    bit_count(xor(x.sim_hi, y.sim_hi)) + bit_count(xor(x.sim_lo, y.sim_lo)) AS dist,
+        |    (x.band_id >= 1000 AND x.sort_hi = y.sort_hi AND x.sort_lo = y.sort_lo)
+        |      AS from_minhash
+        |  FROM r x JOIN r y
+        |    ON x.band_id = y.band_id AND x.band_key = y.band_key
+        |    AND y.rn BETWEEN x.rn + 1 AND x.rn + 8),
+        |cand AS (SELECT a, b, min(dist) AS dist, bool_or(from_minhash) AS fm
+        |  FROM cand0 WHERE dist <= 25 OR from_minhash GROUP BY a, b),
+        |s AS (SELECT image_id, minhash
+        |  FROM read_parquet('${OracleDump.glob("q24_sigs")}')),
+        |byj AS (SELECT cand.a, cand.b FROM cand
+        |  JOIN s sa ON sa.image_id = cand.a JOIN s sb ON sb.image_id = cand.b
+        |  WHERE cand.dist > 25 AND cand.fm
+        |  AND CAST(list_sum([CASE WHEN sa.minhash[i] = sb.minhash[i] THEN 1 ELSE 0 END
+        |    FOR i IN range(1, len(sa.minhash) + 1)]) AS DOUBLE) / len(sa.minhash) >= 0.7)
+        |SELECT a, b FROM cand WHERE dist <= 25
+        |UNION ALL SELECT a, b FROM byj
+        |ORDER BY a, b""".stripMargin,
+    "q25_img_recall" ->
+      s"""WITH t AS (SELECT a, b FROM read_parquet('${OracleDump.glob("q25_truth")}')),
+        |p AS (SELECT a, b FROM read_parquet('${OracleDump.glob("q25_pred")}'))
+        |SELECT CAST(sum(CASE WHEN p.a IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS hit,
+        |  count(*) AS total,
+        |  CAST(sum(CASE WHEN p.a IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / count(*)
+        |    AS recall
+        |FROM t LEFT JOIN p ON t.a = p.a AND t.b = p.b""".stripMargin,
+    "q27_cos_histogram" ->
+      """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings)
+        |SELECT round(list_dot_product(a.v, b.v) /
+        |   (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 1)
+        |   AS cos_bucket, count(*) AS n
+        |FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+        |GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

@@ -64,9 +64,18 @@ object DedupOps {
   }
 
   /** SimHash near-dedup: word-3-gram features → 128-bit SimHash → the same
-    * permuted-band LSH the image pipeline uses → Hamming verify. */
+    * permuted-band LSH the image pipeline uses → Hamming verify. Split into
+    * the hash-kernel half (`simhashBanded`) and the relational half
+    * (`simhashPairsFromBands`) so the latter can be oracle-checked in
+    * DuckDB from a dump of the former (q18). */
   def simhashDedup(docs: DataFrame, maxHamming: Int = 25,
-      nBands: Int = 28, prefixBits: Int = 8): DataFrame = {
+      nBands: Int = 28, prefixBits: Int = 8): DataFrame =
+    simhashPairsFromBands(simhashBanded(docs, nBands, prefixBits), maxHamming)
+
+  /** Kernel half: `(doc_id, hi, lo, band_id, band_key)` — one row per
+    * (document, permuted band). */
+  def simhashBanded(docs: DataFrame, nBands: Int = 28,
+      prefixBits: Int = 8): DataFrame = {
     val simUdf = udf((toks: Seq[String]) => {
       val feats = toks.sliding(3).filter(_.size == 3)
         .map(w => Tuple3Feat(w(0), w(1), w(2))).toSeq
@@ -81,10 +90,16 @@ object DedupOps {
       .withColumn("sig", simUdf(col("toks")))
       .select(col("doc_id"), col("sig.sim_hi").as("hi"), col("sig.sim_lo").as("lo"))
       .localCheckpoint()
-    val banded = sigs.select(col("doc_id"), col("hi"), col("lo"),
+    sigs.select(col("doc_id"), col("hi"), col("lo"),
       explode(bandUdf(col("hi"), col("lo"))).as("bk"))
       .select(col("doc_id"), col("hi"), col("lo"),
         col("bk.band_id"), col("bk.band_key"))
+  }
+
+  /** Relational half: band equi-join → cross-band dedup (groupBy-min) →
+    * Hamming threshold. Pure `bit_count(xor(...))` algebra — the part the
+    * DuckDB oracle re-derives. */
+  def simhashPairsFromBands(banded: DataFrame, maxHamming: Int = 25): DataFrame =
     banded.select(col("band_id"), col("band_key"), col("doc_id").as("a"),
         col("hi").as("a_hi"), col("lo").as("a_lo"))
       .join(banded.select(col("band_id"), col("band_key"), col("doc_id").as("b"),
@@ -97,5 +112,4 @@ object DedupOps {
       .filter(col("dist") <= maxHamming)
       .select(col("a").as("doc_a"), col("b").as("doc_b"), col("dist"))
       .orderBy("doc_a", "doc_b")
-  }
 }

@@ -16,18 +16,19 @@ object TextOps {
     filter(split(text, "\\s+"), t => length(t) > 0)
 
   /** Word 3-gram shingles (distinct), space-joined — the mnemonic-3-gram
-    * analog (SURVEY.md §2.2 P2) expressed with array higher-order functions:
-    * slide a window by index over the token array. */
-  def shingles3Col(text: Column): Column = {
-    val toks = tokensCol(text)
-    // sequence(0, n) runs DESCENDING when n < 0 — guard short docs explicitly
-    when(size(toks) >= 3,
-      array_distinct(
-        transform(sequence(lit(0), size(toks) - lit(3)),
-          i => concat_ws(" ", element_at(toks, i + 1),
-            element_at(toks, i + 2), element_at(toks, i + 3)))))
-      .otherwise(array().cast("array<string>"))
-  }
+    * analog (SURVEY.md §2.2 P2). A compiled single-pass UDF, deliberately
+    * NOT array higher-order functions: `transform`/`element_at` lambdas are
+    * interpreted (no whole-stage codegen) with no common-subexpression
+    * elimination, so the embedded `split()` re-executed per position ×3 —
+    * measured 34+ s at sf0.1 where this UDF plan takes ~2 s. Semantics are
+    * identical to the DuckDB oracle's list comprehension. */
+  val shingles3Udf = udf((text: String) => {
+    val toks = text.split("\\s+").filter(_.nonEmpty)
+    if (toks.length < 3) Array.empty[String]
+    else toks.sliding(3).map(_.mkString(" ")).toArray.distinct
+  })
+
+  def shingles3Col(text: Column): Column = shingles3Udf(text)
 
   def tokenCount(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), size(tokensCol(col("text"))).as("n_tokens"))
@@ -96,10 +97,31 @@ object TextOps {
     * the scalable way: explode shingles, equi-join on the shingle, count
     * intersections, derive |A∪B| = |A|+|B|−|A∩B|. No O(n²) cross join —
     * this is the exact-verification mirror of the MinHash path and the plan
-    * shape that survives 100×: the join key is the shingle, hot shingles are
-    * the only skew surface, and the aggregation is partial-agg friendly. */
-  def ngramJaccardPairs(docs: DataFrame, minJaccard: Double): DataFrame = {
-    val sh = docs.select(col("doc_id"), explode(shingles3Col(col("text"))).as("sh"))
+    * shape that survives 100×: the join key is the shingle and the
+    * aggregation is partial-agg friendly.
+    *
+    * Hot-shingle guard: a shingle present in m documents emits m² join rows
+    * — one common phrase ("click here to subscribe") in a web corpus turns
+    * the equi-join quadratic. Shingles with document frequency >
+    * `maxShingleDf` are excluded from the shingle universe (both the
+    * intersection AND the per-doc sizes, so Jaccard stays consistent), and
+    * the drop is LOGGED — no silent truncation. The oracle SQL applies the
+    * identical cap, so the operator semantics are "Jaccard over
+    * df<=K shingles" in both engines. */
+  def ngramJaccardPairs(docs: DataFrame, minJaccard: Double,
+      maxShingleDf: Int = 1000): DataFrame = {
+    val shAll = docs.select(col("doc_id"), explode(shingles3Col(col("text"))).as("sh"))
+    // the HOT set (df > K) is tiny by construction — collect-count it once
+    // and exclude via a broadcast anti-join, never shuffling the full
+    // shingle table against the (huge) kept set
+    val hot = shAll.groupBy("sh").agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxShingleDf).select("sh")
+    val nDropped = hot.count()
+    if (nDropped > 0)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"ngramJaccardPairs: dropped $nDropped shingles with df > " +
+          s"$maxShingleDf (hot-key guard); Jaccard is over the capped universe")
+    val sh = shAll.join(broadcast(hot), Seq("sh"), "left_anti")
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val inter = sh.select(col("doc_id").as("a"), col("sh"))
       .join(sh.select(col("doc_id").as("b"), col("sh")), "sh")

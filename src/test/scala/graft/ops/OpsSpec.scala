@@ -66,12 +66,13 @@ class OpsSpec extends AnyFunSuite {
     val ann = EmbeddingOps.lshCosinePairs(emb, 0.4)
       .select("vec_a", "vec_b").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
-    // ANN is approximate; every ANN pair must be a true pair (verify step),
-    // recall is best-effort but should be substantial with multi-probe
+    // ANN is approximate; every ANN pair must be a true pair (verify step).
+    // Recall gate 0.9: deterministic hyperplanes + fixed fixture => the
+    // measured 0.92 at (r=8, b=96) is stable, not flaky
     assert(ann.subsetOf(exact))
-    if (exact.nonEmpty)
-      assert(ann.size.toDouble / exact.size >= 0.5,
-        s"ANN recall ${ann.size}/${exact.size}")
+    assert(exact.nonEmpty, "fixture should contain cos>=0.4 pairs")
+    assert(ann.size.toDouble / exact.size >= 0.9,
+      s"ANN recall ${ann.size}/${exact.size}")
   }
 
   test("fingerprint is order-sensitive") {
