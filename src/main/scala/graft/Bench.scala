@@ -10,7 +10,8 @@ object Bench {
     val s = SparkSession.builder()
       .master(s"local[$cpus]")
       .appName("graft-bench")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus))
       // image rows are ~3KB on disk but cost ~1ms of CPU each to decode:
       // byte-sized scan splits (default 128MB) starve a decode-heavy stage.
       // 16MB splits keep every core in balanced waves; at real cluster scale

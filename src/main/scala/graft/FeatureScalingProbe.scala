@@ -28,10 +28,12 @@ object FeatureScalingProbe {
       pool.shutdown(); pool.awaitTermination(1, TimeUnit.MINUTES)
       (System.nanoTime() - t0) / 1e9
     }
-    run(8) // warm JIT
-    run(32)
-    val t8 = run(8)
-    val t32 = run(32)
-    println(f"[probe] n=$n t8=$t8%.2f t32=$t32%.2f speedup=${t8 / t32}%.2f eff=${t8 / t32 / 4}%.3f imgs/s@32=${n / t32}%.0f")
+    val tA = args.lift(1).map(_.toInt).getOrElse(8)
+    val tB = args.lift(2).map(_.toInt).getOrElse(32)
+    run(tA) // warm JIT
+    run(tB)
+    val a = run(tA)
+    val b = run(tB)
+    println(f"[probe] n=$n t$tA=$a%.2f t$tB=$b%.2f speedup=${a / b}%.2f eff=${a / b / (tB.toDouble / tA)}%.3f imgs/s@$tB=${n / b}%.0f")
   }
 }

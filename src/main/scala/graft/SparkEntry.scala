@@ -213,6 +213,82 @@ object SparkEntry {
       import s.implicits._
       graft.cfg.CfgSparkOps.fromJson(
         Seq(Fixtures.diamondCfgJson).toDF("value")).orderBy("name")
+    }),
+    // ---- trainer + retrieval-quality harness ----
+    "q29_train_eval" -> ((s, dir) => {
+      // U1 + trainer (simhashtrainer.cpp:89-158) + A4 eval
+      // (evalsimhashweights.cpp:52-99): learn per-feature weights from
+      // attract/repulse pairs over the documents corpus, then report the
+      // pair-distance stats under untrained vs trained weights. The hash
+      // kernel + SGD run in the trainer; the stats are relational over the
+      // dumped per-phase signatures -> DuckDB-checked.
+      import s.implicits._
+      import graft.learning.{SimHashTrainer, TrainPair}
+      val docs = rd(s, dir, "documents")
+      val docFeats = docs.select(col("doc_id"), col("text")).collect().map { r =>
+        val toks = r.getString(1).split("\\s+").filter(_.nonEmpty)
+        val feats = toks.sliding(3).filter(_.size == 3)
+          .map(w => graft.core.HashFamily.tuple3Hash128(w(0), w(1), w(2), 0L))
+          .toArray.distinct
+        r.getLong(0) -> feats
+      }.sortBy(_._1)
+      val featIds = docFeats.flatMap(_._2).distinct.sorted.zipWithIndex.toMap
+      val hashes = featIds.toSeq.sortBy(_._2).map(_._1).toArray
+      val hi = hashes.map(_._1); val lo = hashes.map(_._2)
+      val docIdx = docFeats.map { case (id, fs) =>
+        id -> fs.map(featIds)
+      }.toMap
+      // attract = the LSH near-dup pairs; repulse = deterministic far pairs
+      val attract = DedupOps.minhashLshDedup(docs, 0.5)
+        .select("doc_a", "doc_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      val ids = docFeats.map(_._1)
+      val repulse = attract.indices.map { i =>
+        (ids(i % ids.length), ids((i + ids.length / 2) % ids.length))
+      }.filter(p => p._1 != p._2).toArray
+      val pairs =
+        attract.map { case (a, b) =>
+          TrainPair(docIdx(a), docIdx(b), attract = true) } ++
+        repulse.map { case (a, b) =>
+          TrainPair(docIdx(a), docIdx(b), attract = false) }
+      val w = SimHashTrainer.train(s, Left(pairs), hi, lo, maxIters = 50)
+      val wm = SimHashTrainer.weightMap(hashes, w)
+      def sigRows(phase: String, weights: Map[Long, Double]) =
+        docFeats.map { case (id, fs) =>
+          val (h, l) = graft.core.SimHash.simhashOfHashes(fs.toSeq, weights)
+          (id, phase, h, l)
+        }.toSeq
+      val sigs = OracleDump.dump("q29_sigs",
+        (sigRows("untrained", Map.empty) ++ sigRows("trained", wm))
+          .toDF("doc_id", "phase", "sim_hi", "sim_lo"))
+      val pairDf = OracleDump.dump("q29_pairs",
+        (attract.map(p => (p._1, p._2, "attract")) ++
+          repulse.map(p => (p._1, p._2, "repulse"))).toSeq
+          .toDF("a", "b", "pair_set"))
+      pairDf
+        .join(sigs.select(col("doc_id").as("a"), col("phase"),
+          col("sim_hi").as("a_hi"), col("sim_lo").as("a_lo")), "a")
+        .join(sigs.select(col("doc_id").as("b"), col("phase"),
+          col("sim_hi").as("b_hi"), col("sim_lo").as("b_lo")), Seq("b", "phase"))
+        .select(col("pair_set"), col("phase"),
+          Dedup.hamming128Col(col("a_hi"), col("a_lo"), col("b_hi"), col("b_lo"))
+            .as("dist"))
+        .groupBy("pair_set", "phase")
+        .agg(count(lit(1)).as("n_pairs"), round(avg("dist"), 4).as("mean_dist"),
+          min("dist").as("min_dist"), max("dist").as("max_dist"))
+        .orderBy("pair_set", "phase")
+    }),
+    "q30_roc" -> ((s, _) => {
+      // evaluate_ROC_curve.py port over the image corpus: grouped truth,
+      // exact-search TPR/FPR/IRR per similarity cutoff (the approximate-
+      // search variant is gated in RocEvalSpec against this exact curve)
+      val cfg = DedupConfig()
+      val (images, truth) = OracleDump.sharedCorpus(s, 40, 3, 30)
+      val sigs = OracleDump.dump("q30_sigs",
+        Dedup.signatures(images, cfg).join(truth, "image_id")
+          .select(col("image_id").as("id"), col("group_id"),
+            col("sim_hi"), col("sim_lo")))
+      graft.eval.RocEval.exactRoc(sigs)
     })
   )
 
@@ -458,6 +534,48 @@ object SparkEntry {
         |   (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 1)
         |   AS cos_bucket, count(*) AS n
         |FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
-        |GROUP BY 1 ORDER BY 1""".stripMargin
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q29_train_eval" ->
+      s"""WITH s AS (SELECT * FROM read_parquet('${OracleDump.glob("q29_sigs")}')),
+        |p AS (SELECT * FROM read_parquet('${OracleDump.glob("q29_pairs")}'))
+        |SELECT p.pair_set, sa.phase,
+        |  count(*) AS n_pairs,
+        |  round(avg(bit_count(xor(sa.sim_hi, sb.sim_hi)) +
+        |            bit_count(xor(sa.sim_lo, sb.sim_lo))), 4) AS mean_dist,
+        |  min(bit_count(xor(sa.sim_hi, sb.sim_hi)) +
+        |      bit_count(xor(sa.sim_lo, sb.sim_lo))) AS min_dist,
+        |  max(bit_count(xor(sa.sim_hi, sb.sim_hi)) +
+        |      bit_count(xor(sa.sim_lo, sb.sim_lo))) AS max_dist
+        |FROM p JOIN s sa ON sa.doc_id = p.a
+        |  JOIN s sb ON sb.doc_id = p.b AND sb.phase = sa.phase
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q30_roc" ->
+      s"""WITH s AS (SELECT * FROM read_parquet('${OracleDump.glob("q30_sigs")}')),
+        |gs AS (SELECT group_id, count(*) AS gsize FROM s GROUP BY group_id),
+        |q AS (SELECT s.id AS qid, s.group_id AS qg, s.sim_hi AS qh,
+        |    s.sim_lo AS ql, gs.gsize
+        |  FROM s JOIN gs ON s.group_id = gs.group_id WHERE gs.gsize >= 2),
+        |cut AS (SELECT unnest([96,100,104,108,112,116,120,124,128]) AS cutoff),
+        |sc AS (SELECT q.qid, (q.qg = o.group_id) AS relevant,
+        |    128 - (bit_count(xor(q.qh, o.sim_hi)) +
+        |           bit_count(xor(q.ql, o.sim_lo))) AS sim
+        |  FROM q JOIN s o ON o.id <> q.qid),
+        |cnt AS (SELECT qid, cutoff,
+        |    sum(CASE WHEN relevant AND sim >= cutoff THEN 1 ELSE 0 END) AS rel_ret,
+        |    sum(CASE WHEN NOT relevant AND sim >= cutoff THEN 1 ELSE 0 END) AS irr_ret
+        |  FROM sc CROSS JOIN cut GROUP BY qid, cutoff),
+        |per AS (SELECT g.cutoff,
+        |    CAST(coalesce(c.rel_ret, 0) AS DOUBLE) / (g.gsize - 1) AS tpr,
+        |    CAST(coalesce(c.irr_ret, 0) AS DOUBLE) /
+        |      ((SELECT count(*) FROM s) - g.gsize) AS fpr,
+        |    CASE WHEN coalesce(c.rel_ret, 0) + coalesce(c.irr_ret, 0) > 0
+        |      THEN CAST(coalesce(c.irr_ret, 0) AS DOUBLE) /
+        |        (coalesce(c.rel_ret, 0) + coalesce(c.irr_ret, 0))
+        |      ELSE 0.0 END AS irr
+        |  FROM (SELECT qid, gsize, cutoff FROM q CROSS JOIN cut) g
+        |  LEFT JOIN cnt c ON c.qid = g.qid AND c.cutoff = g.cutoff)
+        |SELECT cutoff, round(avg(tpr), 6) AS tpr, round(avg(fpr), 6) AS fpr,
+        |  round(avg(irr), 6) AS irr
+        |FROM per GROUP BY cutoff ORDER BY cutoff""".stripMargin
   )
 }

@@ -60,6 +60,38 @@ object CfgSparkOps {
         col("r._4").as("simhash_hex"))
   }
 
+  /** K3 — DOT graph sink (`Flowgraph::WriteDot`, `flowgraph.cpp:63-74`;
+    * tool `tools/dotgraphs.cpp`): per CFG, `digraph G` with one
+    * `blk_<hex> -> blk_<hex>;` line per edge, sources in ascending address
+    * order (the reference iterates its ordered edge map). Diagnostics sink:
+    * one .dot file per graph under `dir`, written from the executors. */
+  def writeDotGraphs(cfgs: DataFrame, dir: String): Unit = {
+    val dotUdf = udf((edges: Seq[Row]) => {
+      val sb = new StringBuilder("digraph G {\n")
+      Option(edges).getOrElse(Nil)
+        .map(e => (e.getLong(0), e.getLong(1)))
+        .sortBy(_._1)
+        .foreach { case (s, d) =>
+          sb.append(f"\tblk_$s%x -> blk_$d%x;\n")
+        }
+      sb.append("}\n").toString
+    })
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    cfgs.select(col("g.name").as("name"), dotUdf(col("g.edges")).as("dot"))
+      .foreachPartition { rows: Iterator[Row] =>
+        rows.foreach { r =>
+          java.nio.file.Files.writeString(
+            java.nio.file.Paths.get(s"$dir/${r.getString(0)}.dot"),
+            r.getString(1))
+        }
+      }
+  }
+
+  /** K3 — JSON graph sink (`Flowgraph::WriteJSON`, `flowgraph.cpp:76-115`):
+    * the same wire format the S2 scan parses, so sink∘scan round-trips. */
+  def writeJsonGraphs(cfgs: DataFrame, path: String): Unit =
+    cfgs.select(to_json(col("g")).as("value")).write.mode("overwrite").text(path)
+
   /** F4 — `no_shared_blocks` (`disassembly.cpp:248-263`,
     * `addfunctionstoindex.cpp:34,90-93`): drop records that share a basic
     * block with any other record (disassembler artifacts). Relationally: an

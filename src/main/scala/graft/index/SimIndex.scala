@@ -69,6 +69,20 @@ object SimIndex {
       .select("query_id", "id", "similarity", "rank")
   }
 
+  /** J3 — metadata enrichment of query results, the composition the
+    * reference's match tool performs per hit
+    * (`matchfunctionsfromindex.cpp:189-196`): candidate id → file name,
+    * base64-decoded symbol, vulnerability flag. Metadata is the small side
+    * → broadcast left join; hits with no metadata row keep null columns
+    * (the reference prints them bare). `metadata` is `RefFormats
+    * .readMetadata` output; ids follow the `fileid:address` convention. */
+  def enrichTopN(results: DataFrame, metadata: DataFrame): DataFrame =
+    results.join(
+      broadcast(metadata.select(
+        concat_ws(":", col("file_id"), col("address")).as("id"),
+        col("file_name"), col("symbol"), col("vulnerable"))),
+      Seq("id"), "left")
+
   /** `GetOddsOfRandomHit` (`simhashsearchindex.cpp:142-157`), same
     * direction and scale as the reference: "such a deviation would occur by
     * chance once every RESULT searches" — BIGGER is better; < 1 means the

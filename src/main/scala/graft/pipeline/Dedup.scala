@@ -102,34 +102,69 @@ object Dedup {
     * candidate-dedup map (`simhashsearchindex.cpp:51,102`).
     */
   def candidates(bandsDf: DataFrame, cfg: DedupConfig): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+    import bandsDf.sparkSession.implicits._
     def unsigned(c: Column): Column = c.bitwiseXOR(lit(Long.MinValue))
-    val w = Window.partitionBy("band_id", "band_key")
-      .orderBy(unsigned(col("sort_hi")), unsigned(col("sort_lo")), col("image_id"))
-    val neighbor = struct(col("image_id"), col("sim_hi"), col("sim_lo"),
-      col("sort_hi"), col("sort_lo"))
-    val leads = (1 to cfg.sortedWindow).map(i => lead(neighbor, i).over(w))
-    bandsDf
-      .withColumn("nbrs", array(leads: _*))
-      .select(col("band_id"), col("image_id"), col("sim_hi"), col("sim_lo"),
-        col("sort_hi"), col("sort_lo"), explode(col("nbrs")).as("n"))
-      .filter(col("n").isNotNull)
-      .select(
-        least(col("image_id"), col("n.image_id")).as("a"),
-        greatest(col("image_id"), col("n.image_id")).as("b"),
-        hamming128Col(col("sim_hi"), col("sim_lo"),
-          col("n.sim_hi"), col("n.sim_lo")).as("dist"),
-        // a minhash-band collision means EQUAL band values (sorted adjacency
-        // of unequal minhash keys is meaningless — and ships millions of
-        // junk pairs into the sketch join)
-        (col("band_id") >= Bands.MinhashBandOffset &&
-          col("sort_hi") === col("n.sort_hi") &&
-          col("sort_lo") === col("n.sort_lo")).as("from_minhash"))
-      // map-side rejection BEFORE the dedup shuffle: a pair that fails the
-      // Hamming bound and did not collide in a minhash band can never verify
-      // — shipping it to groupBy would shuffle W×bands junk rows per record
-      // (measured 290s of sketch-join time at 100k rows without this)
-      .filter(col("dist") <= cfg.maxHamming || col("from_minhash"))
+    val w = cfg.sortedWindow
+    val maxH = cfg.maxHamming
+    // Sliding pass as ONE sorted mapPartitions, not a WindowExec with
+    // `sortedWindow` lead() struct columns + array + explode: that plan
+    // allocates 8 neighbor structs per band row (18M rows -> ~8 GB of
+    // transient garbage at 420k images) and measured 4x ANTI-scaling from
+    // 8 to 32 cores (30 s -> 124 s) from the allocation/kernel-page churn;
+    // this pass is allocation-free per row and scales with the sort.
+    // Correctness is identical: repartition hashes each (band_id, band_key)
+    // bucket wholly into one partition, rows sort by (bucket, unsigned band
+    // value, id), and each row pairs with its next <=W in-bucket neighbors
+    // — so output depends only on bucket contents, never on partitioning.
+    val sorted = bandsDf
+      .repartition(col("band_id"), col("band_key"))
+      .sortWithinPartitions(col("band_id"), col("band_key"),
+        unsigned(col("sort_hi")), unsigned(col("sort_lo")), col("image_id"))
+      .select("band_id", "band_key", "sort_hi", "sort_lo",
+        "image_id", "sim_hi", "sim_lo")
+      .as[(Int, Long, Long, Long, String, Long, Long)]
+    sorted.mapPartitions { it =>
+      val buf = new Array[(Int, Long, Long, Long, String, Long, Long)](w)
+      var n = 0 // rows of the CURRENT bucket held in buf (ring, newest last)
+      new Iterator[(String, String, Int, Boolean)] {
+        private var pending: List[(String, String, Int, Boolean)] = Nil
+        private def advance(): Unit = {
+          while (pending.isEmpty && it.hasNext) {
+            val r = it.next()
+            if (n > 0 && (buf((n - 1) % w)._1 != r._1 || buf((n - 1) % w)._2 != r._2))
+              n = 0 // bucket boundary: sliding never crosses it
+            val lo = math.max(0, n - w)
+            var i = lo
+            var acc: List[(String, String, Int, Boolean)] = Nil
+            while (i < n) {
+              val p = buf(i % w)
+              val dist = java.lang.Long.bitCount(p._6 ^ r._6) +
+                java.lang.Long.bitCount(p._7 ^ r._7)
+              val fromMinhash = r._1 >= Bands.MinhashBandOffset &&
+                p._3 == r._3 && p._4 == r._4
+              // map-side rejection BEFORE the dedup shuffle: a pair that
+              // fails the Hamming bound and did not collide in a minhash
+              // band can never verify (measured 290 s of junk sketch-join
+              // shuffle at 100k rows without this)
+              if (dist <= maxH || fromMinhash) {
+                val (a, b) = if (p._5 <= r._5) (p._5, r._5) else (r._5, p._5)
+                acc = (a, b, dist, fromMinhash) :: acc
+              }
+              i += 1
+            }
+            buf(n % w) = r
+            n += 1
+            if (n >= 2 * w) n = w + (n - w) % w // keep counters bounded
+            pending = acc
+          }
+        }
+        def hasNext: Boolean = { advance(); pending.nonEmpty }
+        def next(): (String, String, Int, Boolean) = {
+          advance()
+          val h = pending.head; pending = pending.tail; h
+        }
+      }
+    }.toDF("a", "b", "dist", "from_minhash")
       .groupBy("a", "b").agg(min("dist").as("dist"),
         max("from_minhash").as("from_minhash"))
   }

@@ -110,6 +110,31 @@ class RefFormatsSpec extends AnyFunSuite {
     }
   }
 
+  test("K3 sinks: DOT edges in source order; JSON sink round-trips the S2 scan") {
+    import spark.implicits._
+    import graft.Fixtures
+    val cfgs = Seq(Fixtures.diamondCfgJson).toDF("value")
+      .select(from_json(col("value"), graft.cfg.CfgSparkOps.cfgJsonSchema).as("g"))
+    val dir = Files.createTempDirectory("k3").toString
+    graft.cfg.CfgSparkOps.writeDotGraphs(cfgs, s"$dir/dot")
+    val dot = Files.readString(java.nio.file.Path.of(s"$dir/dot/CFG.dot"))
+    assert(dot.startsWith("digraph G {\n"))
+    assert(dot.endsWith("}\n"))
+    val edgeLines = dot.linesIterator.filter(_.contains("->")).toSeq
+    assert(edgeLines.nonEmpty && edgeLines.forall(
+      _.matches("\tblk_[0-9a-f]+ -> blk_[0-9a-f]+;")))
+    assert(edgeLines === edgeLines.sortBy(l =>
+      java.lang.Long.parseLong(l.split(" ")(0).stripPrefix("\tblk_"), 16)))
+    // JSON sink ∘ S2 scan = identity on the kernel output
+    graft.cfg.CfgSparkOps.writeJsonGraphs(cfgs, s"$dir/json")
+    val direct = graft.cfg.CfgSparkOps.fromJson(
+      Seq(Fixtures.diamondCfgJson).toDF("value")).collect()(0)
+    val roundTrip = graft.cfg.CfgSparkOps.fromJson(
+      spark.read.text(s"$dir/json")).collect()(0)
+    assert(direct.getString(4) === roundTrip.getString(4)) // same simhash
+    assert(direct.getInt(1) === roundTrip.getInt(1))
+  }
+
   test("C9 executableId: big-endian first 8 bytes of sha256") {
     // sha256("abc") = ba7816bf8f01cfea...
     assert(RefFormats.executableId("abc".getBytes) === 0xba7816bf8f01cfeaL)
