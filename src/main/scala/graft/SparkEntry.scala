@@ -14,6 +14,11 @@ import graft.images.SyntheticCorpus
   */
 object SparkEntry {
 
+  private def deleteRecursively(f: java.io.File): Unit = {
+    if (f.isDirectory) f.listFiles.foreach(deleteRecursively)
+    f.delete(); ()
+  }
+
   private def t(dir: String, name: String) = s"$dir/$name.parquet"
   private def rd(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(t(dir, name))
@@ -277,6 +282,41 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_pairs"), round(avg("dist"), 4).as("mean_dist"),
           min("dist").as("min_dist"), max("dist").as("max_dist"))
         .orderBy("pair_set", "phase")
+    }),
+    "q31_ann_ivf" -> ((s, dir) => {
+      // IVF coarse-quantizer ANN: the spherical-k-means kernel runs in
+      // Spark; its outputs (cell assignment + per-query probe lists) are
+      // dumped as oracle evidence and DuckDB re-derives the entire search
+      // (probed-cell restriction, exact cosine, per-query top-k) from them.
+      val emb = rd(s, dir, "embeddings")
+      val cents = EmbeddingOps.ivfCentroids(emb, nCells = 16)
+      val queries = emb.filter(col("vec_id") < 10)
+      val assign = OracleDump.dump("q31_assign",
+        EmbeddingOps.ivfAssign(emb, cents))
+      val probes = OracleDump.dump("q31_probes",
+        EmbeddingOps.ivfProbes(queries, cents, nprobe = 4))
+      EmbeddingOps.ivfTopKFrom(emb, assign, probes, queries, k = 5)
+    }),
+    "q32_stream_dedup" -> ((s, _) => {
+      // Structured-Streaming incremental dedup: drain the corpus directory
+      // in micro-batches (AvailableNow), accumulating a band index + pair
+      // log, then cluster. The pair log is dumped as evidence; DuckDB
+      // re-derives the connected components from it (same oracle shape as
+      // q23), so the streaming accumulation is value-checked end-to-end.
+      import org.apache.spark.sql.streaming.Trigger
+      val stateDir = s"${OracleDump.Root}/q32_state"
+      val inputDir = s"${OracleDump.Root}/q32_input"
+      deleteRecursively(new java.io.File(stateDir))
+      val (images, _) = OracleDump.sharedCorpus(s, 40, 3, 30)
+      images.repartition(4).write.mode("overwrite").parquet(inputDir)
+      graft.streaming.StreamingDedup.run(s, inputDir, stateDir,
+        DedupConfig(), Trigger.AvailableNow(), maxFilesPerTrigger = 2)
+        .awaitTermination()
+      OracleDump.dump("q32_pairs",
+        s.read.parquet(s"$stateDir/pairs").distinct())
+      OracleDump.dump("q32_ids", images.select("image_id"))
+      graft.streaming.StreamingDedup.clustersFromState(s, stateDir)
+        .orderBy("image_id")
     }),
     "q30_roc" -> ((s, _) => {
       // evaluate_ROC_curve.py port over the image corpus: grouped truth,
@@ -549,6 +589,34 @@ object SparkEntry {
         |FROM p JOIN s sa ON sa.doc_id = p.a
         |  JOIN s sb ON sb.doc_id = p.b AND sb.phase = sa.phase
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q31_ann_ivf" ->
+      s"""WITH a AS (SELECT * FROM read_parquet('${OracleDump.glob("q31_assign")}')),
+        |p AS (SELECT * FROM read_parquet('${OracleDump.glob("q31_probes")}')),
+        |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |scored AS (SELECT p.q_id, a.vec_id AS n_id,
+        |  list_dot_product(q.v, n.v) /
+        |   (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(n.v, n.v))) AS c
+        | FROM p JOIN a ON a.cell = p.cell
+        | JOIN e q ON q.vec_id = p.q_id
+        | JOIN e n ON n.vec_id = a.vec_id
+        | WHERE a.vec_id <> p.q_id)
+        |SELECT q_id, n_id, rank, round(c, 4) AS cos FROM (
+        | SELECT q_id, n_id, c,
+        |  row_number() OVER (PARTITION BY q_id ORDER BY c DESC, n_id ASC) AS rank
+        | FROM scored) WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
+    "q32_stream_dedup" ->
+      s"""WITH RECURSIVE pairs AS (
+        |  SELECT a, b FROM read_parquet('${OracleDump.glob("q32_pairs")}')),
+        |sym AS (SELECT a, b FROM pairs UNION SELECT b, a FROM pairs),
+        |reach(src, dst) AS (
+        |  SELECT a, b FROM sym
+        |  UNION
+        |  SELECT r.src, s.b FROM reach r JOIN sym s ON r.dst = s.a)
+        |SELECT v.image_id,
+        |  least(v.image_id, coalesce(min(r.dst), v.image_id)) AS cluster_id
+        |FROM read_parquet('${OracleDump.glob("q32_ids")}') v
+        |LEFT JOIN reach r ON r.src = v.image_id
+        |GROUP BY v.image_id ORDER BY v.image_id""".stripMargin,
     "q30_roc" ->
       s"""WITH s AS (SELECT * FROM read_parquet('${OracleDump.glob("q30_sigs")}')),
         |gs AS (SELECT group_id, count(*) AS gsize FROM s GROUP BY group_id),

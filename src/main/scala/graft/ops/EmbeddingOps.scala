@@ -161,6 +161,135 @@ object EmbeddingOps {
     fanOut(emb).select(col("vec_id"), explode(keysUdf(col("embedding"))).as("bk"))
   }
 
+  // --------------------------------------------------------------------
+  // IVF (inverted-file) ANN — the coarse-quantizer scale path.
+  //
+  // Spherical k-means centroids are trained driver-side on a bounded,
+  // deterministic sample (FAISS's own recipe: training needs only
+  // ~256·k vectors regardless of corpus size), then broadcast; cell
+  // assignment and search are fully distributed. Per-query work is
+  // sum(probed cell sizes) ≈ (nprobe/nCells)·N instead of N — and unlike
+  // the hyperplane LSH above, the pruning factor is data-adaptive (cells
+  // follow the actual density), which is why IVF is the production
+  // default for embedding retrieval. At cluster scale the assignment
+  // table is written partitioned BY cell, so a probe reads only its
+  // cells' files (partition pruning); here it stays a cell equi-join.
+  // --------------------------------------------------------------------
+
+  /** Unit-normalize a vector; zero vectors stay zero. */
+  private def normalize(v: Array[Double]): Array[Double] = {
+    var s = 0.0; var i = 0
+    while (i < v.length) { s += v(i) * v(i); i += 1 }
+    val n = math.sqrt(s)
+    if (n == 0) v else v.map(_ / n)
+  }
+
+  private def dot(a: Array[Double], b: Array[Double]): Double = {
+    var s = 0.0; var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) { s += a(i) * b(i); i += 1 }
+    s
+  }
+
+  /** Cell of maximum centroid dot product (ties → lowest cell id). */
+  private def nearestCell(cents: Array[Array[Double]], v: Array[Double]): Int = {
+    var best = 0; var bestDot = Double.NegativeInfinity
+    var c = 0
+    while (c < cents.length) {
+      val d = dot(cents(c), v)
+      if (d > bestDot) { bestDot = d; best = c }
+      c += 1
+    }
+    best
+  }
+
+  /** Spherical-k-means centroids from a deterministic sample: vectors are
+    * unit-normalized, init is evenly-spaced sample vectors, Lloyd rounds
+    * re-normalize the mean; an emptied cell keeps its previous centroid.
+    * Fully deterministic — no RNG, sample = first `trainN` by `vec_id`
+    * (a distributed top-k at any corpus size). */
+  def ivfCentroids(emb: DataFrame, nCells: Int, iters: Int = 20,
+      trainN: Int = 4096): Array[Array[Double]] = {
+    val sample = emb.orderBy("vec_id").limit(trainN)
+      .select("embedding").collect()
+      .map(r => normalize(r.getSeq[Float](0).toArray.map(_.toDouble)))
+    require(sample.length >= nCells, s"need >= $nCells training vectors")
+    var cents = Array.tabulate(nCells)(c =>
+      sample((c.toLong * sample.length / nCells).toInt).clone())
+    var it = 0
+    while (it < iters) {
+      val sums = Array.fill(nCells)(new Array[Double](cents(0).length))
+      val counts = new Array[Long](nCells)
+      sample.foreach { v =>
+        val c = nearestCell(cents, v)
+        val s = sums(c); var i = 0
+        while (i < v.length) { s(i) += v(i); i += 1 }
+        counts(c) += 1
+      }
+      cents = Array.tabulate(nCells)(c =>
+        if (counts(c) == 0) cents(c) else normalize(sums(c)))
+      it += 1
+    }
+    cents
+  }
+
+  /** Distributed cell assignment: (vec_id, cell) under broadcast centroids. */
+  def ivfAssign(emb: DataFrame, cents: Array[Array[Double]]): DataFrame = {
+    val assignUdf = udf((v: Seq[Float]) =>
+      nearestCell(cents, normalize(v.toArray.map(_.toDouble))))
+    fanOut(emb).select(col("vec_id"), assignUdf(col("embedding")).as("cell"))
+  }
+
+  /** Per-query probe list: the `nprobe` cells of highest centroid dot
+    * product — (q_id, cell), one row per probed cell. */
+  def ivfProbes(queries: DataFrame, cents: Array[Array[Double]],
+      nprobe: Int): DataFrame = {
+    val probesUdf = udf((v: Seq[Float]) => {
+      val nv = normalize(v.toArray.map(_.toDouble))
+      cents.indices.map(c => (dot(cents(c), nv), c))
+        .sortBy { case (d, c) => (-d, c) }.take(nprobe).map(_._2)
+    })
+    queries.select(col("vec_id").as("q_id"),
+      explode(probesUdf(col("embedding"))).as("cell"))
+  }
+
+  /** IVF top-k: probe the `nprobe` nearest cells per query, brute-force
+    * exact cosine within them. Same query set / ranking / output shape as
+    * `knnBrute`, so recall is directly measurable against it. The probe
+    * list is tiny → broadcast against the assignment table; embeddings are
+    * joined back only for rows inside probed cells. */
+  def ivfTopK(emb: DataFrame, nQueries: Int = 10, k: Int = 5,
+      nCells: Int = 16, nprobe: Int = 4, iters: Int = 20): DataFrame = {
+    val cents = ivfCentroids(emb, nCells, iters)
+    val queries = emb.filter(col("vec_id") < nQueries)
+    ivfTopKFrom(emb, ivfAssign(emb, cents),
+      ivfProbes(queries, cents, nprobe), queries, k)
+  }
+
+  /** The relational half of IVF search, from materialized assignment and
+    * probe tables (dumpable as oracle evidence): corpus restricted to
+    * probed cells, exact cosine, per-query top-k. */
+  def ivfTopKFrom(emb: DataFrame, assign: DataFrame, probes: DataFrame,
+      queries: DataFrame, k: Int): DataFrame = {
+    val withNorm = emb.select(col("vec_id"), col("embedding"),
+      normCol(col("embedding")).as("nrm"))
+    val q = queries.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+      normCol(col("embedding")).as("q_nrm"))
+    val scored = assign.join(broadcast(probes), "cell")
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("n_id"))
+      .join(broadcast(q), "q_id")
+      .join(withNorm.select(col("vec_id").as("n_id"), col("embedding").as("n_emb"),
+        col("nrm").as("n_nrm")), "n_id")
+      .withColumn("cos",
+        dotUdf(col("q_emb"), col("n_emb")) / (col("q_nrm") * col("n_nrm")))
+    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("n_id"), col("rank"), round(col("cos"), 4).as("cos"))
+      .orderBy("q_id", "rank")
+  }
+
   /** Exact-cosine verification of a bare (a, b) id pair set: join the
     * embeddings back once per side, keep pairs with cos >= `minCos`. */
   def verifyCosPairs(pairs: DataFrame, emb: DataFrame,

@@ -34,34 +34,42 @@ object SubstringDup {
     else Array.tabulate(s.length - w + 1)(i => HashFamily.stringHash(s.substring(i, i + w)))
   }
 
-  /** @param rows columns (`id`, `text`) — text should already be normalized
-    * @return pairs (a, b), a != b, where text(a) is a substring of text(b)
-    *         and length(text(a)) >= w
-    */
-  def containedPairs(spark: SparkSession, rows: DataFrame, w: Int = 24): DataFrame = {
-    val winUdf = udf((s: String) => windowHashes(s, w).distinct)
-    val anchorUdf = udf((s: String) =>
-      if (s != null && s.length >= w) HashFamily.stringHash(s.substring(0, w))
-      else 0L)
-
-    // the window join ships ONLY (hash, id) — carrying the caption text
-    // itself through the exploded window rows multiplies the shuffle by the
-    // caption length (measured ~20 GB at 1.8M rows); texts are re-joined for
-    // the exact-contains verify on the (few) hash-matched candidates only
-    val shorts = rows
-      .filter(length(col("text")) >= w)
+  /** Anchor table (`a`, `k`): one row per text with length >= w, k = hash of
+    * its first w chars. Materializable state for the incremental path. */
+  def anchorTable(rows: DataFrame, w: Int): DataFrame = {
+    val anchorUdf = udf((s: String) => HashFamily.stringHash(s.substring(0, w)))
+    rows.filter(length(col("text")) >= w)
       .select(col("id").as("a"), anchorUdf(col("text")).as("k"))
-    val wins = rows
-      .select(col("id").as("b"), explode(winUdf(col("text"))).as("k"))
+  }
 
-    val cands = shorts.join(wins, "k")
-      .filter(col("a") =!= col("b"))
-      .select(col("a"), col("b"))
-      .distinct()
+  /** Window table (`b`, `k`): one row per distinct w-length window hash. */
+  def windowTable(rows: DataFrame, w: Int): DataFrame = {
+    val winUdf = udf((s: String) => windowHashes(s, w).distinct)
+    rows.select(col("id").as("b"), explode(winUdf(col("text"))).as("k"))
+  }
+
+  /** Exact-contains verification of bare (a, b) candidates against the text
+    * table: re-join texts only for hash-matched candidates. */
+  def verifyContained(cands: DataFrame, rows: DataFrame): DataFrame =
     cands
       .join(rows.select(col("id").as("a"), col("text").as("a_text")), "a")
       .join(rows.select(col("id").as("b"), col("text").as("b_text")), "b")
       .filter(col("b_text").contains(col("a_text")))
       .select(col("a"), col("b"))
+
+  /** @param rows columns (`id`, `text`) — text should already be normalized
+    * @return pairs (a, b), a != b, where text(a) is a substring of text(b)
+    *         and length(text(a)) >= w
+    */
+  def containedPairs(spark: SparkSession, rows: DataFrame, w: Int = 24): DataFrame = {
+    // the window join ships ONLY (hash, id) — carrying the caption text
+    // itself through the exploded window rows multiplies the shuffle by the
+    // caption length (measured ~20 GB at 1.8M rows); texts are re-joined for
+    // the exact-contains verify on the (few) hash-matched candidates only
+    val cands = anchorTable(rows, w).join(windowTable(rows, w), "k")
+      .filter(col("a") =!= col("b"))
+      .select(col("a"), col("b"))
+      .distinct()
+    verifyContained(cands, rows)
   }
 }

@@ -75,6 +75,26 @@ class OpsSpec extends AnyFunSuite {
       s"ANN recall ${ann.size}/${exact.size}")
   }
 
+  test("IVF ANN: probing all cells equals brute force; nprobe=4 has recall") {
+    val exact = EmbeddingOps.knnBrute(emb, nQueries = 10, k = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // nprobe == nCells probes every cell => IVF must reproduce brute force
+    val full = EmbeddingOps.ivfTopK(emb, nQueries = 10, k = 5,
+      nCells = 16, nprobe = 16).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(full === exact, "all-cells IVF must equal exact top-k")
+    val probed = EmbeddingOps.ivfTopK(emb, nQueries = 10, k = 5,
+      nCells = 16, nprobe = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = probed.intersect(exact).size.toDouble / exact.size
+    assert(recall >= 0.5, s"IVF nprobe=4 recall $recall")
+    // determinism: no RNG anywhere in the centroid training
+    val again = EmbeddingOps.ivfTopK(emb, nQueries = 10, k = 5,
+      nCells = 16, nprobe = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(again === probed)
+  }
+
   test("fingerprint is order-sensitive") {
     import spark.implicits._
     val t = Seq((1L, "ab"), (2L, "ba")).toDF("doc_id", "text")

@@ -1,0 +1,71 @@
+package graft.streaming
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkTestBase
+import graft.images.SyntheticCorpus
+import graft.pipeline.{Dedup, DedupConfig}
+
+class StreamingDedupSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+
+  private def pairSet(clusters: org.apache.spark.sql.DataFrame): Set[(String, String)] =
+    Dedup.clusterPairs(clusters).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+
+  test("streaming incremental dedup matches the batch pipeline's clusters") {
+    val cfg = DedupConfig()
+    val root = Files.createTempDirectory("graft-stream").toString
+    val (images, truth) = SyntheticCorpus.generate(spark,
+      nGroups = 12, variantsPerGroup = 3, nDistractors = 12)
+    images.cache(); images.count()
+    // several input files -> several micro-batches with maxFilesPerTrigger=1
+    images.repartition(4).write.parquet(s"$root/input")
+
+    val q = StreamingDedup.run(spark, s"$root/input", s"$root/state", cfg,
+      Trigger.AvailableNow(), maxFilesPerTrigger = 1)
+    q.awaitTermination()
+    assert(!q.isActive)
+
+    val streamed = StreamingDedup.clustersFromState(spark, s"$root/state")
+    val streamedPairs = pairSet(streamed)
+
+    // recall vs planted truth must be total — every planted dup pair is
+    // found regardless of which micro-batch each variant arrived in
+    val tl = truth.select(col("group_id"), col("image_id").as("a"))
+    val tr = truth.select(col("group_id"), col("image_id").as("b"))
+    val truthPairs = tl.join(tr, "group_id").filter(col("a") < col("b"))
+      .select("a", "b").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(truthPairs.nonEmpty)
+    assert(truthPairs.subsetOf(streamedPairs),
+      s"missed ${truthPairs.diff(streamedPairs).size} of ${truthPairs.size} truth pairs")
+
+    // parity with the batch pipeline: same accepted-pair predicate, so the
+    // final clustering agrees with a one-shot batch run over the same rows
+    val batchPairs = pairSet(Dedup.run(images, cfg))
+    assert(streamedPairs === batchPairs)
+    images.unpersist(); ()
+  }
+
+  test("processBatch replay is idempotent (checkpoint-recovery safety)") {
+    val cfg = DedupConfig()
+    val root = Files.createTempDirectory("graft-stream-replay").toString
+    val (images, _) = SyntheticCorpus.generate(spark,
+      nGroups = 5, variantsPerGroup = 2, nDistractors = 5)
+    val batch = images.localCheckpoint()
+    StreamingDedup.processBatch(spark, batch, s"$root/state", cfg)
+    val once = StreamingDedup.clustersFromState(spark, s"$root/state")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    // a replayed micro-batch appends duplicate state rows; dedup-at-read
+    // must keep the clustering identical. Pair log grows, clusters do not.
+    StreamingDedup.processBatch(spark, batch, s"$root/state", cfg)
+    val twiceClusters = StreamingDedup.clustersFromState(spark, s"$root/state")
+    // replay also duplicates signature rows -> dedupe ids for the compare
+    val twice = twiceClusters.distinct()
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(twice === once)
+  }
+}
