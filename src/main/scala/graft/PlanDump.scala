@@ -20,6 +20,8 @@ object PlanDump {
     dump("q15_ngram_jaccard")
     // the LSH band self-join path on documents
     dump("q18_simhash_dedup")
+    // IVF ANN: broadcast probe list, cell-restricted scan, top-k window
+    dump("q31_ann_ivf")
     // image pipeline stages
     println("\n===== image signatures -> bands -> candidates =====")
     val (images, _) = graft.images.SyntheticCorpus.generate(spark, 5, 2, 5)

@@ -44,6 +44,12 @@ object ScalingBench {
     val cp = new java.io.File("target/scala-2.13/classes").getAbsolutePath +
       ":/opt/spark/jars/*"
     val mem = sys.env.getOrElse("SPARK_GRAFT_WORKER_MEM", "32g")
+    // NOTE: -Xms=-Xmx + -XX:+AlwaysPreTouch was tried to move heap page
+    // faults out of the measurement window and measured CATASTROPHICALLY
+    // slower on this kernel (t2 went 586 s -> not finished at 3000 s, same
+    // corpus, same code) — a 32 GB fully-committed heap keeps G1 regions
+    // resident and the job allocation-heavy; the default lazy heap lets the
+    // kernel reclaim cold regions. Kept default-lazy deliberately.
     val cmd = Seq("taskset", "-c", s"0-${cpus - 1}", "java",
       s"-XX:ActiveProcessorCount=$cpus", s"-Xmx$mem",
       "-Djava.awt.headless=true", "-Dspark.ui.enabled=false",
