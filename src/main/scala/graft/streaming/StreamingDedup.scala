@@ -54,9 +54,14 @@ object StreamingDedup {
 
   /** One micro-batch: probe new rows against the accumulated index, log
     * verified pairs, grow the index. Pure DataFrame logic — callable
-    * directly for tests and from `foreachBatch` in the streaming query. */
+    * directly for tests and from `foreachBatch` in the streaming query.
+    *
+    * With `metrics = true`, appends one observability row per batch to
+    * `<stateDir>/metrics` (north rule: lineage + metrics tables): batch id,
+    * new rows, bucket-probed index rows, candidate and accepted pair counts.
+    * Off by default — the counts cost one extra job each. */
   def processBatch(spark: SparkSession, batch: DataFrame, stateDir: String,
-      cfg: DedupConfig): Unit = {
+      cfg: DedupConfig, batchId: Long = -1L, metrics: Boolean = false): Unit = {
     if (batch.isEmpty) return
     val sigs = Dedup.signatures(batch, cfg).localCheckpoint()
     val newBands = Dedup.bands(sigs, cfg).localCheckpoint()
@@ -109,13 +114,24 @@ object StreamingDedup {
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration.Duration
     import scala.concurrent.ExecutionContext.Implicits.global
+    val allPairs = verifiedPairs.union(ssPairs)
+    val batchPairs =
+      if (metrics) allPairs.localCheckpoint() else allPairs
     Await.result(Future.sequence(Seq(
-      Future(verifiedPairs.union(ssPairs)
-        .write.mode("append").parquet(s"$stateDir/pairs")),
+      Future(batchPairs.write.mode("append").parquet(s"$stateDir/pairs")),
       Future(newBands.write.mode("append").parquet(indexPath)),
       Future(sigs.write.mode("append").parquet(sigsPath)),
       Future(newAnch.write.mode("append").parquet(anchPath)),
       Future(newWins.write.mode("append").parquet(winsPath)))), Duration.Inf)
+    if (metrics) {
+      import spark.implicits._
+      Seq((batchId, sigs.count(), oldBands
+          .join(touched, Seq("band_id", "band_key"), "left_semi").count(),
+          cands.count(), batchPairs.count()))
+        .toDF("batch_id", "new_rows", "index_rows_probed",
+          "candidate_pairs", "pairs_appended")
+        .coalesce(1).write.mode("append").parquet(s"$stateDir/metrics")
+    }
     ()
   }
 
@@ -126,7 +142,7 @@ object StreamingDedup {
   def run(spark: SparkSession, inputDir: String, stateDir: String,
       cfg: DedupConfig = DedupConfig(),
       trigger: Trigger = Trigger.AvailableNow(),
-      maxFilesPerTrigger: Int = 4): StreamingQuery = {
+      maxFilesPerTrigger: Int = 4, metrics: Boolean = false): StreamingQuery = {
     val stream = spark.readStream
       .schema(imageSchema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
@@ -135,8 +151,8 @@ object StreamingDedup {
       .outputMode("update")
       .option("checkpointLocation", s"$stateDir/checkpoint")
       .trigger(trigger)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        processBatch(spark, batch, stateDir, cfg)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        processBatch(spark, batch, stateDir, cfg, batchId, metrics)
       }
       .start()
   }

@@ -50,6 +50,41 @@ class StreamingDedupSpec extends AnyFunSuite {
     images.unpersist(); ()
   }
 
+  test("stopped stream resumes from its checkpoint and converges to batch parity") {
+    val cfg = DedupConfig()
+    val root = Files.createTempDirectory("graft-stream-resume").toString
+    val (images, _) = SyntheticCorpus.generate(spark,
+      nGroups = 8, variantsPerGroup = 3, nDistractors = 8)
+    images.cache(); images.count()
+    images.repartition(4).write.parquet(s"$root/input")
+
+    // first incarnation: stop the query after >= 1 committed micro-batch
+    val q1 = StreamingDedup.run(spark, s"$root/input", s"$root/state", cfg,
+      Trigger.AvailableNow(), maxFilesPerTrigger = 1)
+    val deadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
+    while ((q1.recentProgress.count(_.numInputRows > 0) < 2) &&
+        q1.isActive && System.nanoTime() < deadline) Thread.sleep(200)
+    q1.stop(); q1.awaitTermination()
+    // a stop can interrupt a batch after its state writes but before its
+    // checkpoint commit — resume replays it — so ids, not raw rows, count
+    def distinctSigs() = spark.read.parquet(s"$root/state/sigs")
+      .select("image_id").distinct().count()
+    val committedBefore = distinctSigs()
+    assert(committedBefore > 0, "first incarnation committed no batch")
+
+    // second incarnation: same checkpoint + state -> processes only files
+    // not yet committed, and the final clustering matches the batch pipeline
+    val q2 = StreamingDedup.run(spark, s"$root/input", s"$root/state", cfg,
+      Trigger.AvailableNow(), maxFilesPerTrigger = 1)
+    q2.awaitTermination()
+    assert(distinctSigs() === images.count())
+    val streamedPairs = pairSet(
+      StreamingDedup.clustersFromState(spark, s"$root/state"))
+    val batchPairs = pairSet(Dedup.run(images, cfg))
+    assert(streamedPairs === batchPairs)
+    images.unpersist(); ()
+  }
+
   test("processBatch replay is idempotent (checkpoint-recovery safety)") {
     val cfg = DedupConfig()
     val root = Files.createTempDirectory("graft-stream-replay").toString
