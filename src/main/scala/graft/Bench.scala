@@ -45,10 +45,12 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = makeSession(cpus)
     // untimed JVM warmup (JIT, codegen compiler, parquet reader init): the
-    // alphabetically-first query was absorbing ~7 s of one-time JVM cost
-    spark.read.parquet(s"$sfDir/lineitem.parquet")
+    // alphabetically-first query was absorbing ~7 s of one-time JVM cost.
+    // Best-effort — a missing table must not abort the whole bench.
+    try spark.read.parquet(s"$sfDir/lineitem.parquet")
       .filter(org.apache.spark.sql.functions.col("l_quantity") > 0)
       .groupBy("l_returnflag").count().count()
+    catch { case _: Throwable => () }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

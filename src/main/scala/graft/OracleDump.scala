@@ -36,7 +36,10 @@ object OracleDump {
     * inlined), and all queries over the same parameters share bytes. */
   def sharedCorpus(spark: SparkSession, nGroups: Int, variants: Int,
       distractors: Int): (DataFrame, DataFrame) = corpusLock.synchronized {
-    val dir = s"$Root/corpus_${nGroups}_${variants}_$distractors"
+    // keyed by generator version too: a code change to SyntheticCorpus
+    // must invalidate cached corpus bytes, not silently serve stale ones
+    val v = graft.images.SyntheticCorpus.GeneratorVersion
+    val dir = s"$Root/corpus_v${v}_${nGroups}_${variants}_$distractors"
     if (!new java.io.File(s"$dir/_done").exists) {
       val (images, truth) = graft.images.SyntheticCorpus.generate(
         spark, nGroups, variants, distractors)

@@ -70,7 +70,7 @@ object CfgSparkOps {
       val sb = new StringBuilder("digraph G {\n")
       Option(edges).getOrElse(Nil)
         .map(e => (e.getLong(0), e.getLong(1)))
-        .sortBy(_._1)
+        .sorted // the reference's ordered edge map iterates (source, dest)
         .foreach { case (s, d) =>
           sb.append(f"\tblk_$s%x -> blk_$d%x;\n")
         }

@@ -24,6 +24,12 @@ final case class TruthRow(image_id: String, group_id: Long)
 object SyntheticCorpus {
   val DefaultSeed = 0xDEADBEEFL
 
+  /** Bump whenever `generate`'s OUTPUT changes (new variant kinds, RNG
+    * stream changes, schema changes): on-disk corpus caches (OracleDump
+    * .sharedCorpus, scaling corpora) are keyed by parameters + this
+    * version, so a stale cache cannot silently serve old bytes. */
+  val GeneratorVersion = 1
+
   /** splitmix64 — the standard public-domain mix (Steele et al.). */
   def mix64(z0: Long): Long = {
     var z = z0 + 0x9e3779b97f4a7c15L

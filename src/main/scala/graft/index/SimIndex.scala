@@ -92,16 +92,21 @@ object SimIndex {
   def oddsOfRandomHit(similarity: Int, indexedRecords: Long): Double = {
     val sd = math.sqrt(128.0 * 0.5 * 0.5)
     val z = math.abs(similarity - 64.0) / sd
-    1.0 / (1.0 - erf(z / math.sqrt(2.0))) / indexedRecords
+    // complementary tail computed DIRECTLY (erfc), not as 1 - erf: for
+    // similarity ≳ 112 the tail is below ulp(1.0) and `1 - erf(z)` cancels
+    // to exactly 0.0, returning Infinity for the strongest (most common)
+    // hits; the A&S polynomial times exp(-x²) keeps it finite
+    1.0 / erfc(z / math.sqrt(2.0)) / indexedRecords
   }
 
-  /** Abramowitz–Stegun 7.1.26 erf approximation (|err| < 1.5e-7). */
-  private def erf(x: Double): Double = {
-    val sign = if (x < 0) -1.0 else 1.0
+  /** Complementary error function via Abramowitz–Stegun 7.1.26
+    * (|err| < 1.5e-7 absolute; the poly·exp(−x²) form stays accurate and
+    * non-zero deep into the tail where 1−erf(x) underflows). */
+  private def erfc(x: Double): Double = {
     val a = math.abs(x)
     val t = 1.0 / (1.0 + 0.3275911 * a)
-    val y = 1.0 - (((((1.061405429 * t - 1.453152027) * t) + 1.421413741) * t -
+    val tail = (((((1.061405429 * t - 1.453152027) * t) + 1.421413741) * t -
       0.284496736) * t + 0.254829592) * t * math.exp(-a * a)
-    sign * y
+    if (x >= 0) tail else 2.0 - tail
   }
 }

@@ -156,6 +156,10 @@ object SimHashTrainer {
             }
         }.toDF("fid", "g")
         val rows = contribs.groupBy("fid").agg(sum("g").as("g")).collect()
+        // evaluate runs once per line-search probe (thousands per train):
+        // without this the per-probe broadcasts accumulate in the
+        // BlockManager for the life of the session
+        bHi.destroy(); bLo.destroy(); bW.destroy()
         val grad = new Array[Double](w.length)
         var loss = 0.0
         rows.foreach { r =>

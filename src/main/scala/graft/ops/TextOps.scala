@@ -23,9 +23,12 @@ object TextOps {
     * measured 34+ s at sf0.1 where this UDF plan takes ~2 s. Semantics are
     * identical to the DuckDB oracle's list comprehension. */
   val shingles3Udf = udf((text: String) => {
-    val toks = text.split("\\s+").filter(_.nonEmpty)
-    if (toks.length < 3) Array.empty[String]
-    else toks.sliding(3).map(_.mkString(" ")).toArray.distinct
+    if (text == null) Array.empty[String]
+    else {
+      val toks = text.split("\\s+").filter(_.nonEmpty)
+      if (toks.length < 3) Array.empty[String]
+      else toks.sliding(3).map(_.mkString(" ")).toArray.distinct
+    }
   })
 
   def shingles3Col(text: Column): Column = shingles3Udf(text)
@@ -130,10 +133,14 @@ object TextOps {
     inter
       .join(sizes.select(col("doc_id").as("a"), col("n").as("na")), "a")
       .join(sizes.select(col("doc_id").as("b"), col("n").as("nb")), "b")
-      .withColumn("jacc", round(col("inter").cast("double") /
-        (col("na") + col("nb") - col("inter")), 4))
-      .filter(col("jacc") >= minJaccard)
-      .select(col("a").as("doc_a"), col("b").as("doc_b"), col("jacc"))
+      // threshold on the RAW ratio, round only for output — the DuckDB
+      // oracle's WHERE compares the unrounded value, and a pair landing in
+      // [minJaccard - 5e-5, minJaccard) would otherwise pass here only
+      .withColumn("jacc_raw", col("inter").cast("double") /
+        (col("na") + col("nb") - col("inter")))
+      .filter(col("jacc_raw") >= minJaccard)
+      .select(col("a").as("doc_a"), col("b").as("doc_b"),
+        round(col("jacc_raw"), 4).as("jacc"))
       .orderBy("doc_a", "doc_b")
   }
 }

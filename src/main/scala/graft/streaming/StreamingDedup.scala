@@ -160,11 +160,22 @@ object StreamingDedup {
   /** Periodic clustering over the accumulated pair log: connected
     * components across every id seen so far. The pair log may hold
     * duplicate pairs from bucket re-probes / replayed batches —
-    * `ConnectedComponents` symmetrizes + distincts the edge set. */
+    * `ConnectedComponents` symmetrizes + distincts the edge set — and the
+    * signature log may hold duplicate ids from a replayed batch (state
+    * appended, checkpoint not yet committed), so the vertex set is
+    * explicitly distinct-ed: the output has exactly one row per image.
+    * An empty/absent state (stream started, nothing ingested yet) yields
+    * an empty result, not an error. */
   def clustersFromState(spark: SparkSession, stateDir: String): DataFrame = {
+    import spark.implicits._
+    if (!exists(spark, s"$stateDir/sigs"))
+      return Seq.empty[(String, String)].toDF("image_id", "cluster_id")
     val ids = spark.read.parquet(s"$stateDir/sigs")
-      .select(col("image_id").as("id"))
-    val pairs = spark.read.parquet(s"$stateDir/pairs")
+      .select(col("image_id").as("id")).distinct()
+    val pairs =
+      if (exists(spark, s"$stateDir/pairs"))
+        spark.read.parquet(s"$stateDir/pairs")
+      else Seq.empty[(String, String)].toDF("a", "b")
     ConnectedComponents.run(spark, pairs, ids)
       .withColumnRenamed("id", "image_id")
   }

@@ -15,7 +15,7 @@ class StreamingDedupSpec extends AnyFunSuite {
     Dedup.clusterPairs(clusters).collect()
       .map(r => (r.getString(0), r.getString(1))).toSet
 
-  test("streaming incremental dedup matches the batch pipeline's clusters") {
+  test("streaming incremental dedup recovers the batch pipeline's pairs and the planted truth") {
     val cfg = DedupConfig()
     val root = Files.createTempDirectory("graft-stream").toString
     val (images, truth) = SyntheticCorpus.generate(spark,
@@ -43,10 +43,19 @@ class StreamingDedupSpec extends AnyFunSuite {
     assert(truthPairs.subsetOf(streamedPairs),
       s"missed ${truthPairs.diff(streamedPairs).size} of ${truthPairs.size} truth pairs")
 
-    // parity with the batch pipeline: same accepted-pair predicate, so the
-    // final clustering agrees with a one-shot batch run over the same rows
+    // vs the one-shot batch run: the streaming candidate set is a SUPERSET
+    // by construction (a pair within the sorted window at arrival time may
+    // be pushed apart by later inserts, which the final-order batch pass
+    // then misses; the reverse cannot happen — at the later element's
+    // arrival the bucket holds a subset of its final rows, so a final-order
+    // within-window pair is within-window then too). Every extra pair still
+    // passed the identical verify predicate, so require batch ⊆ streamed
+    // and streamed ⊆ truth, not equality.
     val batchPairs = pairSet(Dedup.run(images, cfg))
-    assert(streamedPairs === batchPairs)
+    assert(batchPairs.subsetOf(streamedPairs),
+      s"streamed lost ${batchPairs.diff(streamedPairs).size} batch pairs")
+    assert(streamedPairs.subsetOf(truthPairs),
+      s"${streamedPairs.diff(truthPairs).size} streamed pairs outside planted groups")
     images.unpersist(); ()
   }
 
@@ -81,7 +90,8 @@ class StreamingDedupSpec extends AnyFunSuite {
     val streamedPairs = pairSet(
       StreamingDedup.clustersFromState(spark, s"$root/state"))
     val batchPairs = pairSet(Dedup.run(images, cfg))
-    assert(streamedPairs === batchPairs)
+    assert(batchPairs.subsetOf(streamedPairs),
+      s"resume lost ${batchPairs.diff(streamedPairs).size} batch pairs")
     images.unpersist(); ()
   }
 
