@@ -26,6 +26,7 @@ final case class DedupConfig(
     substringWindow: Int = 24,
     sortedWindow: Int = 8,
     hotBucketThreshold: Int = 100000,
+    rangeSaltedCandidates: Boolean = false,
     featurize: FeaturizeConfig = FeaturizeConfig()) {
   require(minhashBands * minhashRows <= featurize.minhashK,
     "minhash banding exceeds sketch size")
@@ -101,41 +102,28 @@ object Dedup {
     * Cross-band duplicates collapse via groupBy-min, the reference's
     * candidate-dedup map (`simhashsearchindex.cpp:51,102`).
     */
-  def candidates(bandsDf: DataFrame, cfg: DedupConfig): DataFrame = {
-    import bandsDf.sparkSession.implicits._
-    def unsigned(c: Column): Column = c.bitwiseXOR(lit(Long.MinValue))
-    val w = cfg.sortedWindow
-    val maxH = cfg.maxHamming
-    // Sliding pass as ONE sorted mapPartitions, not a WindowExec with
-    // `sortedWindow` lead() struct columns + array + explode: that plan
-    // allocates 8 neighbor structs per band row (18M rows -> ~8 GB of
-    // transient garbage at 420k images) and measured 4x ANTI-scaling from
-    // 8 to 32 cores (30 s -> 124 s) from the allocation/kernel-page churn;
-    // this pass is allocation-free per row and scales with the sort.
-    // Correctness is identical: repartition hashes each (band_id, band_key)
-    // bucket wholly into one partition, rows sort by (bucket, unsigned band
-    // value, id), and each row pairs with its next <=W in-bucket neighbors
-    // — so output depends only on bucket contents, never on partitioning.
-    val sorted = bandsDf
-      .repartition(col("band_id"), col("band_key"))
-      .sortWithinPartitions(col("band_id"), col("band_key"),
-        unsigned(col("sort_hi")), unsigned(col("sort_lo")), col("image_id"))
-      .select("band_id", "band_key", "sort_hi", "sort_lo",
-        "image_id", "sim_hi", "sim_lo")
-      .as[(Int, Long, Long, Long, String, Long, Long)]
-    sorted.mapPartitions { it =>
-      val buf = new Array[(Int, Long, Long, Long, String, Long, Long)](w)
-      var n = 0 // rows of the CURRENT bucket held in buf (ring, newest last)
-      new Iterator[(String, String, Int, Boolean)] {
-        private var pending: List[(String, String, Int, Boolean)] = Nil
-        private def advance(): Unit = {
-          while (pending.isEmpty && it.hasNext) {
-            val r = it.next()
-            if (n > 0 && (buf((n - 1) % w)._1 != r._1 || buf((n - 1) % w)._2 != r._2))
-              n = 0 // bucket boundary: sliding never crosses it
-            val lo = math.max(0, n - w)
-            var i = lo
-            var acc: List[(String, String, Int, Boolean)] = Nil
+  private type BandRow = (Int, Long, Long, Long, String, Long, Long)
+
+  /** The sliding-window pair emitter over bucket-sorted rows: each row pairs
+    * with its previous <= `w` rows of the same (band_id, band_key) bucket.
+    * The first `skip` rows only PRIME the ring (no emission) — the overlap
+    * mechanism of the range-salted path; `skip = 0` for the hash path. */
+  private def slidingPairs(it: Iterator[BandRow], w: Int, maxH: Int,
+      skip: Int): Iterator[(String, String, Int, Boolean)] = {
+    val buf = new Array[BandRow](w)
+    var n = 0 // rows of the CURRENT bucket held in buf (ring, newest last)
+    var consumed = 0
+    new Iterator[(String, String, Int, Boolean)] {
+      private var pending: List[(String, String, Int, Boolean)] = Nil
+      private def advance(): Unit = {
+        while (pending.isEmpty && it.hasNext) {
+          val r = it.next()
+          if (n > 0 && (buf((n - 1) % w)._1 != r._1 || buf((n - 1) % w)._2 != r._2))
+            n = 0 // bucket boundary: sliding never crosses it
+          val lo = math.max(0, n - w)
+          var i = lo
+          var acc: List[(String, String, Int, Boolean)] = Nil
+          if (consumed >= skip) {
             while (i < n) {
               val p = buf(i % w)
               val dist = java.lang.Long.bitCount(p._6 ^ r._6) +
@@ -152,21 +140,126 @@ object Dedup {
               }
               i += 1
             }
-            buf(n % w) = r
-            n += 1
-            if (n >= 2 * w) n = w + (n - w) % w // keep counters bounded
-            pending = acc
           }
-        }
-        def hasNext: Boolean = { advance(); pending.nonEmpty }
-        def next(): (String, String, Int, Boolean) = {
-          advance()
-          val h = pending.head; pending = pending.tail; h
+          consumed += 1
+          buf(n % w) = r
+          n += 1
+          if (n >= 2 * w) n = w + (n - w) % w // keep counters bounded
+          pending = acc
         }
       }
-    }.toDF("a", "b", "dist", "from_minhash")
+      def hasNext: Boolean = { advance(); pending.nonEmpty }
+      def next(): (String, String, Int, Boolean) = {
+        advance()
+        val h = pending.head; pending = pending.tail; h
+      }
+    }
+  }
+
+  private def unsignedCol(c: Column): Column = c.bitwiseXOR(lit(Long.MinValue))
+
+  def candidates(bandsDf: DataFrame, cfg: DedupConfig): DataFrame =
+    if (cfg.rangeSaltedCandidates) candidatesSalted(bandsDf, cfg)
+    else candidatesHashed(bandsDf, cfg)
+
+  /** Default path: hash-partition by bucket, sort, one sliding pass.
+    *
+    * Sliding pass as ONE sorted mapPartitions, not a WindowExec with
+    * `sortedWindow` lead() struct columns + array + explode: that plan
+    * allocates 8 neighbor structs per band row (18M rows -> ~8 GB of
+    * transient garbage at 420k images) and measured 4x ANTI-scaling from
+    * 8 to 32 cores (30 s -> 124 s) from the allocation/kernel-page churn;
+    * this pass is allocation-free per row and scales with the sort.
+    * Correctness is identical: repartition hashes each (band_id, band_key)
+    * bucket wholly into one partition, rows sort by (bucket, unsigned band
+    * value, id), and each row pairs with its next <=W in-bucket neighbors
+    * — so output depends only on bucket contents, never on partitioning. */
+  def candidatesHashed(bandsDf: DataFrame, cfg: DedupConfig): DataFrame = {
+    import bandsDf.sparkSession.implicits._
+    val w = cfg.sortedWindow
+    val maxH = cfg.maxHamming
+    val sorted = bandsDf
+      .repartition(col("band_id"), col("band_key"))
+      .sortWithinPartitions(col("band_id"), col("band_key"),
+        unsignedCol(col("sort_hi")), unsignedCol(col("sort_lo")), col("image_id"))
+      .select("band_id", "band_key", "sort_hi", "sort_lo",
+        "image_id", "sim_hi", "sim_lo")
+      .as[BandRow]
+    sorted.mapPartitions(it => slidingPairs(it, w, maxH, skip = 0))
+      .toDF("a", "b", "dist", "from_minhash")
       .groupBy("a", "b").agg(min("dist").as("dist"),
         max("from_minhash").as("from_minhash"))
+  }
+
+  /** Range-SALTED candidate path — the explicit skew guard the north rule
+    * names: the hash path sends each (band_id, band_key) bucket wholly to
+    * one task, so one degenerate mega-bucket (e.g. millions of blank
+    * images sharing a signature) becomes a single straggler task. Here rows
+    * are RANGE-partitioned on the full sort key (bucket, unsigned band
+    * value, id), which splits hot buckets across tasks at arbitrary sort
+    * positions, and the W-row window that would straddle a partition
+    * boundary is repaired by an overlap pass: each partition's last W rows
+    * (one cheap extra scan of the narrow band tuples, collected — W × P
+    * rows total) are broadcast and PREPENDED to the next partition, priming
+    * its ring buffer without re-emitting (skip = overlap length). The
+    * emitted pair set is therefore exactly `candidatesHashed`'s — asserted
+    * by DedupPipelineSpec on planted and degenerate corpora — and output
+    * no longer depends on where the range sampler cut, so run-to-run
+    * boundary variation cannot change results. Extra cost: one cache +
+    * tail-collect pass; worth it only when bucketStats reports hot
+    * buckets, hence opt-in via DedupConfig.rangeSaltedCandidates. */
+  def candidatesSalted(bandsDf: DataFrame, cfg: DedupConfig,
+      numPartitions: Option[Int] = None): DataFrame = {
+    import bandsDf.sparkSession.implicits._
+    val spark = bandsDf.sparkSession
+    val w = cfg.sortedWindow
+    val maxH = cfg.maxHamming
+    // explicit partition count pins the split (AQE coalesces small range
+    // shuffles to one partition, which would bypass the overlap machinery
+    // — tests force several partitions to actually exercise it)
+    val ranged = numPartitions match {
+      case Some(n) => bandsDf.repartitionByRange(n, col("band_id"),
+        col("band_key"), unsignedCol(col("sort_hi")),
+        unsignedCol(col("sort_lo")), col("image_id"))
+      case None => bandsDf.repartitionByRange(col("band_id"), col("band_key"),
+        unsignedCol(col("sort_hi")), unsignedCol(col("sort_lo")), col("image_id"))
+    }
+    val sorted = ranged
+      .sortWithinPartitions(col("band_id"), col("band_key"),
+        unsignedCol(col("sort_hi")), unsignedCol(col("sort_lo")), col("image_id"))
+      .select("band_id", "band_key", "sort_hi", "sort_lo",
+        "image_id", "sim_hi", "sim_lo")
+      .as[BandRow]
+    val rdd = sorted.rdd
+    rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val rawTails = rdd.mapPartitionsWithIndex { (i, it) =>
+        val ring = new Array[BandRow](w)
+        var n = 0
+        it.foreach { r => ring(n % w) = r; n += 1 }
+        val lastW = (math.max(0, n - w) until n).map(j => ring(j % w)).toArray
+        Iterator.single((i, lastW))
+      }.collect().sortBy(_._1)
+      // transitive fold: a partition with < W rows cannot supply the full
+      // W-row context by itself (a bucket can span 3+ partitions), so the
+      // effective tail of p = last W rows of (effective tail of p-1 ++ p)
+      // — i.e. exactly the W rows preceding partition p+1 in global order
+      val tails = collection.mutable.Map.empty[Int, Array[BandRow]]
+      var prev = Array.empty[BandRow]
+      rawTails.foreach { case (i, tail) =>
+        prev = (prev ++ tail).takeRight(w)
+        tails(i) = prev
+      }
+      val bTails = spark.sparkContext.broadcast(tails.toMap)
+      val pairs = rdd.mapPartitionsWithIndex { (i, it) =>
+        val prefix = bTails.value.getOrElse(i - 1, Array.empty[BandRow])
+        slidingPairs(prefix.iterator ++ it, w, maxH, skip = prefix.length)
+      }
+      pairs.toDF("a", "b", "dist", "from_minhash")
+        .groupBy("a", "b").agg(min("dist").as("dist"),
+          max("from_minhash").as("from_minhash"))
+        .localCheckpoint()
+    } finally rdd.unpersist(false)
   }
 
   /** Full-width Hamming distance as a built-in column expression — pure

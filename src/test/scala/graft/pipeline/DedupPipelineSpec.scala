@@ -116,4 +116,42 @@ class DedupPipelineSpec extends AnyFunSuite {
     val stats = Dedup.bucketStats(b, cfg).collect()(0)
     assert(stats.getAs[Long]("hot_buckets") > 0) // observability: prefix too coarse
   }
+
+  test("range-salted candidates emit exactly the hash-partitioned pair set") {
+    import spark.implicits._
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("a", "b", "dist", "from_minhash").collect()
+        .map(r => (r.getString(0), r.getString(1), r.getInt(2), r.getBoolean(3)))
+        .toSet
+
+    // planted corpus: realistic bucket mix
+    val cfg = DedupConfig()
+    val (images, _) = SyntheticCorpus.generate(spark, 25, 3, 25)
+    val bands = Dedup.bands(Dedup.signatures(images, cfg), cfg).localCheckpoint()
+    val hashed = pairSet(Dedup.candidatesHashed(bands, cfg))
+    val salted = pairSet(Dedup.candidatesSalted(bands, cfg, Some(7)))
+    assert(hashed.nonEmpty)
+    assert(salted === hashed)
+
+    // degenerate mega-bucket: 120 identical signatures sort into one run
+    // that range partitioning with 16 forced partitions MUST split across
+    // tasks (~330 rows/partition per band bucket side); with W=8 context a
+    // bucket spans many partitions and partitions hold < W of some buckets
+    // — the transitive-overlap repair is genuinely exercised
+    val cfg2 = DedupConfig(sortedWindow = 8)
+    val degSigs = (1 to 120).map(i => (f"id_$i%03d", 0L, 0L, Array.fill(64)(0L)))
+      .toDF("image_id", "sim_hi", "sim_lo", "minhash")
+    val degBands = Dedup.bands(degSigs, cfg2).localCheckpoint()
+    val degHashed = pairSet(Dedup.candidatesHashed(degBands, cfg2))
+    val degSalted = pairSet(Dedup.candidatesSalted(degBands, cfg2, Some(16)))
+    assert(degSalted === degHashed)
+    // and the forced range split really crossed bucket boundaries: fewer
+    // buckets than partitions is impossible here (44 bands × 1 bucket each,
+    // 5280 rows over 16 partitions -> some bucket spans partitions)
+    val nParts = degBands
+      .repartitionByRange(16, col("band_id"), col("band_key"),
+        col("sort_hi"), col("sort_lo"), col("image_id"))
+      .groupBy(spark_partition_id()).count().count()
+    assert(nParts > 1, "range partitioning did not split the mega-bucket")
+  }
 }
