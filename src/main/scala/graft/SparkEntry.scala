@@ -313,7 +313,8 @@ object SparkEntry {
         DedupConfig(), Trigger.AvailableNow(), maxFilesPerTrigger = 2)
         .awaitTermination()
       OracleDump.dump("q32_pairs",
-        s.read.parquet(s"$stateDir/pairs").distinct())
+        s.read.option("recursiveFileLookup", "true")
+          .parquet(s"$stateDir/pairs").distinct())
       OracleDump.dump("q32_ids", images.select("image_id"))
       graft.streaming.StreamingDedup.clustersFromState(s, stateDir)
         .orderBy("image_id")

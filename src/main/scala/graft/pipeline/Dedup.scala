@@ -255,12 +255,22 @@ object Dedup {
         val prefix = bTails.value.getOrElse(i - 1, Array.empty[BandRow])
         slidingPairs(prefix.iterator ++ it, w, maxH, skip = prefix.length)
       }
-      pairs.toDF("a", "b", "dist", "from_minhash")
+      val out = pairs.toDF("a", "b", "dist", "from_minhash")
         .groupBy("a", "b").agg(min("dist").as("dist"),
           max("from_minhash").as("from_minhash"))
-        .localCheckpoint()
+        .localCheckpoint() // eager: materialized before rdd/broadcast release
+      bTails.destroy()
+      out
     } finally rdd.unpersist(false)
   }
+
+  /** Candidates, materialized: the salted path already returns an eagerly
+    * checkpointed frame (it must — its cached RDD and tails broadcast are
+    * released on exit), so callers that need a checkpoint must not pay for
+    * a second copy. */
+  def candidatesMaterialized(bandsDf: DataFrame, cfg: DedupConfig): DataFrame =
+    if (cfg.rangeSaltedCandidates) candidatesSalted(bandsDf, cfg)
+    else candidatesHashed(bandsDf, cfg).localCheckpoint()
 
   /** Full-width Hamming distance as a built-in column expression — pure
     * codegen, no UDF (`bit_count` ≥ Spark 3.3; SURVEY.md §1.3). */
@@ -304,7 +314,7 @@ object Dedup {
     // accept + minhash-jaccard remainder) and Catalyst does not reuse common
     // subplans across DataFrame branches — without this the whole
     // band-sort-window DAG executes twice
-    val cands = candidates(bands(sigs, cfg), cfg).localCheckpoint()
+    val cands = candidatesMaterialized(bands(sigs, cfg), cfg)
     // no .distinct() here: ConnectedComponents symmetrizes + distincts the
     // edge set anyway — one shuffle instead of two
     val pairs = verified(cands, sigs, cfg)

@@ -28,10 +28,14 @@ import graft.pipeline.{ConnectedComponents, Dedup, DedupConfig, SubstringDup}
   *      rows ∪ new rows); `Dedup.verified` applies the same Hamming /
   *      MinHash-Jaccard acceptance as the batch pipeline, so every emitted
   *      pair satisfies the exact batch acceptance predicate.
-  *   4. Verified pairs append to a pair log; new band rows and signatures
-  *      append to the index — both are idempotent-by-dedup (the pair log is
-  *      `distinct`-ed at cluster time), so a replayed micro-batch (streaming
-  *      checkpoint recovery) cannot corrupt results.
+  *   4. Verified pairs, band rows, signatures, and substring hash tables
+  *      each land in a batch-keyed subdirectory written with OVERWRITE
+  *      (`<table>/batch_<id>`), so a replayed micro-batch (streaming
+  *      checkpoint recovery after a crash between state write and offset
+  *      commit) overwrites its own previous attempt instead of appending a
+  *      duplicate copy — duplicated band rows would otherwise consume
+  *      sliding-window slots and push true neighbors out of the W-row
+  *      window. State reads are recursive over the batch subdirectories.
   *
   * Clustering stays a periodic batch job over the pair log
   * (`clustersFromState`) — connected components is a global fixpoint and
@@ -49,8 +53,40 @@ object StreamingDedup {
     StructField("caption", StringType, nullable = true),
     StructField("phash", LongType, nullable = false)))
 
-  private def exists(spark: SparkSession, path: String): Boolean =
-    new java.io.File(path.stripPrefix("file:")).exists
+  /** Hadoop-FS existence check — a java.io.File probe would silently report
+    * false for any non-local state dir (hdfs://, s3a://). */
+  private def exists(spark: SparkSession, path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p)
+  }
+
+  /** The batch subdirectories of a state table, via the Hadoop FS API
+    * (works on any supported filesystem), optionally excluding one batch. */
+  private def batchDirs(spark: SparkSession, path: String,
+      excludeBatch: Option[Long]): Seq[String] = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) Nil
+    else fs.listStatus(p).toSeq.filter(_.isDirectory)
+      .map(_.getPath.toString)
+      .filterNot(d => excludeBatch.exists(b => d.endsWith(s"/batch_$b")))
+  }
+
+  /** Read an accumulated state table (batch-keyed subdirectories) or an
+    * empty frame of the given schema if nothing is committed yet.
+    *
+    * `excludeBatch` MUST name the batch currently being processed: on a
+    * checkpoint-recovery replay its subdirectory already exists from the
+    * failed attempt, and reading it as "old" state would (a) race the
+    * overwrite that is about to delete those files and (b) treat the new
+    * rows as already indexed, duplicating them in the probe. */
+  private def readState(spark: SparkSession, path: String,
+      schema: StructType, excludeBatch: Option[Long]): DataFrame = {
+    val dirs = batchDirs(spark, path, excludeBatch)
+    if (dirs.isEmpty) spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    else spark.read.schema(schema).parquet(dirs: _*)
+  }
 
   /** One micro-batch: probe new rows against the accumulated index, log
     * verified pairs, grow the index. Pure DataFrame logic — callable
@@ -67,20 +103,19 @@ object StreamingDedup {
     val newBands = Dedup.bands(sigs, cfg).localCheckpoint()
     val indexPath = s"$stateDir/index"
     val sigsPath = s"$stateDir/sigs"
-    val oldBands =
-      if (exists(spark, indexPath)) spark.read.parquet(indexPath)
-      else spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], newBands.schema)
-    val oldSigs =
-      if (exists(spark, sigsPath)) spark.read.parquet(sigsPath)
-      else spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], sigs.schema)
+    // batch-keyed overwrite = replay idempotence: `batchId` must be unique
+    // per DISTINCT batch (the streaming engine guarantees this); a replay
+    // of the same batch reuses the id and overwrites its own subdirectory
+    def batchDir(table: String) = s"$table/batch_$batchId"
+    val self = Some(batchId)
+    val oldBands = readState(spark, indexPath, newBands.schema, self)
+    val oldSigs = readState(spark, sigsPath, sigs.schema, self)
     // bucket probe: only index rows sharing a bucket with a new row matter
     val touched = newBands.select("band_id", "band_key").distinct()
     val relevant = oldBands
       .join(touched, Seq("band_id", "band_key"), "left_semi")
       .union(newBands)
-    val cands = Dedup.candidates(relevant, cfg).localCheckpoint()
+    val cands = Dedup.candidatesMaterialized(relevant, cfg)
     val verifiedPairs = Dedup.verified(cands, oldSigs.union(sigs), cfg)
     // incremental substring pass: only joins touching a NEW row — new
     // anchors vs all windows (new text contained in anything) plus old
@@ -93,14 +128,8 @@ object StreamingDedup {
     val newWins = SubstringDup.windowTable(newTexts, w).localCheckpoint()
     val anchPath = s"$stateDir/ss_anchors"
     val winsPath = s"$stateDir/ss_windows"
-    val oldAnch =
-      if (exists(spark, anchPath)) spark.read.parquet(anchPath)
-      else spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], newAnch.schema)
-    val oldWins =
-      if (exists(spark, winsPath)) spark.read.parquet(winsPath)
-      else spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], newWins.schema)
+    val oldAnch = readState(spark, anchPath, newAnch.schema, self)
+    val oldWins = readState(spark, winsPath, newWins.schema, self)
     val ssCands = newAnch.join(oldWins.union(newWins), "k")
       .union(oldAnch.join(newWins, "k"))
       .filter(col("a") =!= col("b"))
@@ -118,11 +147,13 @@ object StreamingDedup {
     val batchPairs =
       if (metrics) allPairs.localCheckpoint() else allPairs
     Await.result(Future.sequence(Seq(
-      Future(batchPairs.write.mode("append").parquet(s"$stateDir/pairs")),
-      Future(newBands.write.mode("append").parquet(indexPath)),
-      Future(sigs.write.mode("append").parquet(sigsPath)),
-      Future(newAnch.write.mode("append").parquet(anchPath)),
-      Future(newWins.write.mode("append").parquet(winsPath)))), Duration.Inf)
+      Future(batchPairs.write.mode("overwrite")
+        .parquet(batchDir(s"$stateDir/pairs"))),
+      Future(newBands.write.mode("overwrite").parquet(batchDir(indexPath))),
+      Future(sigs.write.mode("overwrite").parquet(batchDir(sigsPath))),
+      Future(newAnch.write.mode("overwrite").parquet(batchDir(anchPath))),
+      Future(newWins.write.mode("overwrite").parquet(batchDir(winsPath))))),
+      Duration.Inf)
     if (metrics) {
       import spark.implicits._
       Seq((batchId, sigs.count(), oldBands
@@ -130,7 +161,8 @@ object StreamingDedup {
           cands.count(), batchPairs.count()))
         .toDF("batch_id", "new_rows", "index_rows_probed",
           "candidate_pairs", "pairs_appended")
-        .coalesce(1).write.mode("append").parquet(s"$stateDir/metrics")
+        .coalesce(1).write.mode("overwrite")
+        .parquet(batchDir(s"$stateDir/metrics"))
     }
     ()
   }
@@ -168,13 +200,14 @@ object StreamingDedup {
     * an empty result, not an error. */
   def clustersFromState(spark: SparkSession, stateDir: String): DataFrame = {
     import spark.implicits._
-    if (!exists(spark, s"$stateDir/sigs"))
+    val sigDirs = batchDirs(spark, s"$stateDir/sigs", None)
+    if (sigDirs.isEmpty)
       return Seq.empty[(String, String)].toDF("image_id", "cluster_id")
-    val ids = spark.read.parquet(s"$stateDir/sigs")
+    val ids = spark.read.parquet(sigDirs: _*)
       .select(col("image_id").as("id")).distinct()
+    val pairDirs = batchDirs(spark, s"$stateDir/pairs", None)
     val pairs =
-      if (exists(spark, s"$stateDir/pairs"))
-        spark.read.parquet(s"$stateDir/pairs")
+      if (pairDirs.nonEmpty) spark.read.parquet(pairDirs: _*).select("a", "b")
       else Seq.empty[(String, String)].toDF("a", "b")
     ConnectedComponents.run(spark, pairs, ids)
       .withColumnRenamed("id", "image_id")

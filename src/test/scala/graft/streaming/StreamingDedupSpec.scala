@@ -62,7 +62,7 @@ class StreamingDedupSpec extends AnyFunSuite {
   test("stopped stream resumes from its checkpoint and converges to batch parity") {
     val cfg = DedupConfig()
     val root = Files.createTempDirectory("graft-stream-resume").toString
-    val (images, _) = SyntheticCorpus.generate(spark,
+    val (images, truth) = SyntheticCorpus.generate(spark,
       nGroups = 8, variantsPerGroup = 3, nDistractors = 8)
     images.cache(); images.count()
     images.repartition(4).write.parquet(s"$root/input")
@@ -76,7 +76,8 @@ class StreamingDedupSpec extends AnyFunSuite {
     q1.stop(); q1.awaitTermination()
     // a stop can interrupt a batch after its state writes but before its
     // checkpoint commit — resume replays it — so ids, not raw rows, count
-    def distinctSigs() = spark.read.parquet(s"$root/state/sigs")
+    def distinctSigs() = spark.read
+      .option("recursiveFileLookup", "true").parquet(s"$root/state/sigs")
       .select("image_id").distinct().count()
     val committedBefore = distinctSigs()
     assert(committedBefore > 0, "first incarnation committed no batch")
@@ -92,6 +93,15 @@ class StreamingDedupSpec extends AnyFunSuite {
     val batchPairs = pairSet(Dedup.run(images, cfg))
     assert(batchPairs.subsetOf(streamedPairs),
       s"resume lost ${batchPairs.diff(streamedPairs).size} batch pairs")
+    // upper bound too: a recovery bug emitting spurious pairs must not hide
+    // behind the subset relaxation
+    val tl = truth.select(col("group_id"), col("image_id").as("a"))
+    val tr = truth.select(col("group_id"), col("image_id").as("b"))
+    val truthPairs = tl.join(tr, "group_id").filter(col("a") < col("b"))
+      .select("a", "b").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(streamedPairs.subsetOf(truthPairs),
+      s"${streamedPairs.diff(truthPairs).size} streamed pairs outside planted groups")
     images.unpersist(); ()
   }
 
