@@ -69,6 +69,9 @@ object ScalingBench {
   }
 
   def main(args: Array[String]): Unit = {
+    // every number below is f""-formatted into a machine-parsed report; a
+    // decimal-comma default locale would corrupt it
+    java.util.Locale.setDefault(java.util.Locale.ROOT)
     val nGroups = args.lift(0).map(_.toInt).getOrElse(60000)
     val variants = args.lift(1).map(_.toInt).getOrElse(4)
     val nDistract = args.lift(2).map(_.toInt).getOrElse(60000)

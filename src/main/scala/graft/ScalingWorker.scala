@@ -27,7 +27,12 @@ object ScalingWorker {
     val clusters = graft.pipeline.Dedup.run(images)
       .select("cluster_id").distinct().count()
     val sec = (System.nanoTime() - t0) / 1e9
-    println(f"""SCALING_RESULT {"cpus":$cpus,"sec":$sec%.3f,"images":$n,"clusters":$clusters}""")
+    // Locale.ROOT: a default locale with a decimal COMMA would emit "12,345"
+    // and break ScalingBench's [\d.]+ parse — the emitted line must be
+    // locale-independent
+    println(String.format(java.util.Locale.ROOT,
+      """SCALING_RESULT {"cpus":%s,"sec":%.3f,"images":%d,"clusters":%d}""",
+      cpus, Double.box(sec), Long.box(n), Long.box(clusters)))
     spark.stop()
   }
 }

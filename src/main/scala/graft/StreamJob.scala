@@ -7,42 +7,57 @@ import graft.streaming.StreamingDedup
 /** spark-submit entrypoint for the streaming incremental dedup pipeline —
   * the streaming sibling of `DedupJob`.
   *
-  *   spark-submit --class graft.StreamJob app.jar <inputDir> <stateDir> [intervalSec]
+  *   spark-submit --class graft.StreamJob app.jar <inputDir> <stateDir> [intervalSec|cluster]
   *
-  * Without `intervalSec`, drains every file currently in <inputDir> in
-  * bounded micro-batches (`Trigger.AvailableNow`), writes the clustering of
-  * everything ingested so far to <stateDir>/clusters_out, and exits — safe
-  * to re-launch as new files land (the streaming checkpoint skips files
-  * already processed, and the band index / pair log carry forward). With
-  * `intervalSec`, tails the directory continuously; clustering then runs as
-  * a separate periodic invocation of the no-interval form against the same
-  * state (connected components is a global fixpoint and stays out of the
-  * per-batch path).
+  * Modes:
+  *  - no third arg: drain every file currently in <inputDir> in bounded
+  *    micro-batches (`Trigger.AvailableNow`), write the clustering of
+  *    everything ingested so far to <stateDir>/clusters_out, and exit —
+  *    safe to re-launch as new files land (the streaming checkpoint skips
+  *    files already processed, and the band index / pair log carry forward).
+  *  - `intervalSec` (a number): tail the directory continuously.
+  *  - `cluster`: NO streaming query — read-only clustering of the state
+  *    accumulated so far, written to <stateDir>/clusters_out. This is the
+  *    periodic-clustering companion to a long-running `intervalSec`
+  *    instance: it never touches the checkpoint or claims input files, so
+  *    it is safe to run concurrently with the ingesting instance.
+  *
+  * OWNERSHIP: at most ONE ingesting StreamJob (either non-`cluster` mode)
+  * may own a given <stateDir> at a time. Structured Streaming's
+  * checkpointLocation has no cross-process lock — two ingesting instances
+  * on the same checkpoint would both claim input files and write
+  * conflicting offsets/state. Periodic clustering alongside a running
+  * ingester must use `cluster` mode, never a second ingesting launch.
   *
   * Per-batch observability lands in <stateDir>/metrics (batch id, new rows,
-  * index rows probed, candidate/accepted pair counts).
+  * index rows probed, candidate/accepted pair counts, state files read).
   */
 object StreamJob {
   def main(args: Array[String]): Unit = {
     if (args.length < 2) {
       System.err.println(
-        "usage: graft.StreamJob <inputDir> <stateDir> [intervalSec]")
+        "usage: graft.StreamJob <inputDir> <stateDir> [intervalSec|cluster]")
       sys.exit(2)
     }
     val input = args(0)
     val stateDir = args(1)
-    val interval = args.lift(2).map(_.toInt)
+    val mode = args.lift(2)
     val spark = Bench.makeSession(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
-    val trigger = interval
-      .map(s => Trigger.ProcessingTime(s * 1000L))
-      .getOrElse(Trigger.AvailableNow())
-    val q = StreamingDedup.run(spark, input, stateDir, DedupConfig(),
-      trigger, metrics = true)
-    q.awaitTermination()
-    if (interval.isEmpty) {
+    def writeClusters(): Unit = {
       val clusters = StreamingDedup.clustersFromState(spark, stateDir)
       clusters.write.mode("overwrite").parquet(s"$stateDir/clusters_out")
       println(s"clusters: ${spark.read.parquet(s"$stateDir/clusters_out").count()} rows")
+    }
+    mode match {
+      case Some("cluster") =>
+        writeClusters()
+      case other =>
+        val trigger = other.map(s => Trigger.ProcessingTime(s.toInt * 1000L))
+          .getOrElse(Trigger.AvailableNow())
+        val q = StreamingDedup.run(spark, input, stateDir, DedupConfig(),
+          trigger, metrics = true)
+        q.awaitTermination()
+        if (other.isEmpty) writeClusters()
     }
     spark.stop()
   }

@@ -64,7 +64,12 @@ object CfgSparkOps {
     * tool `tools/dotgraphs.cpp`): per CFG, `digraph G` with one
     * `blk_<hex> -> blk_<hex>;` line per edge, sources in ascending address
     * order (the reference iterates its ordered edge map). Diagnostics sink:
-    * one .dot file per graph under `dir`, written from the executors. */
+    * one small .dot file per graph under `dir`. The DOT strings are built on
+    * the executors; the tiny per-graph files are streamed to the DRIVER and
+    * written through the Hadoop FS API — executor-local java.nio writes
+    * would scatter files across worker disks (or fail on a missing dir) on
+    * any non-local deployment. Graph names are sanitized to a single path
+    * component so a hostile name cannot escape `dir`. */
   def writeDotGraphs(cfgs: DataFrame, dir: String): Unit = {
     val dotUdf = udf((edges: Seq[Row]) => {
       val sb = new StringBuilder("digraph G {\n")
@@ -76,14 +81,19 @@ object CfgSparkOps {
         }
       sb.append("}\n").toString
     })
-    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    val spark = cfgs.sparkSession
+    val base = new org.apache.hadoop.fs.Path(dir)
+    val fs = base.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.mkdirs(base)
     cfgs.select(col("g.name").as("name"), dotUdf(col("g.edges")).as("dot"))
-      .foreachPartition { rows: Iterator[Row] =>
-        rows.foreach { r =>
-          java.nio.file.Files.writeString(
-            java.nio.file.Paths.get(s"$dir/${r.getString(0)}.dot"),
-            r.getString(1))
-        }
+      .toLocalIterator().forEachRemaining { r =>
+        val safe = Option(r.getString(0)).getOrElse("unnamed")
+          .replaceAll("[^A-Za-z0-9._-]", "_")
+        val out = fs.create(new org.apache.hadoop.fs.Path(base, s"$safe.dot"),
+          true)
+        try out.write(r.getString(1).getBytes(
+          java.nio.charset.StandardCharsets.UTF_8))
+        finally out.close()
       }
   }
 

@@ -24,8 +24,10 @@ class StreamingDedupSpec extends AnyFunSuite {
     // several input files -> several micro-batches with maxFilesPerTrigger=1
     images.repartition(4).write.parquet(s"$root/input")
 
+    // compactEvery=2 so the 4 micro-batches also exercise state compaction
     val q = StreamingDedup.run(spark, s"$root/input", s"$root/state", cfg,
-      Trigger.AvailableNow(), maxFilesPerTrigger = 1)
+      Trigger.AvailableNow(), maxFilesPerTrigger = 1,
+      stateP = 16, compactEvery = 2)
     q.awaitTermination()
     assert(!q.isActive)
 
@@ -68,8 +70,10 @@ class StreamingDedupSpec extends AnyFunSuite {
     images.repartition(4).write.parquet(s"$root/input")
 
     // first incarnation: stop the query after >= 1 committed micro-batch
+    // (compactEvery=2: resume must also survive a pre-stop compaction)
     val q1 = StreamingDedup.run(spark, s"$root/input", s"$root/state", cfg,
-      Trigger.AvailableNow(), maxFilesPerTrigger = 1)
+      Trigger.AvailableNow(), maxFilesPerTrigger = 1,
+      stateP = 16, compactEvery = 2)
     val deadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
     while ((q1.recentProgress.count(_.numInputRows > 0) < 2) &&
         q1.isActive && System.nanoTime() < deadline) Thread.sleep(200)
@@ -85,7 +89,8 @@ class StreamingDedupSpec extends AnyFunSuite {
     // second incarnation: same checkpoint + state -> processes only files
     // not yet committed, and the final clustering matches the batch pipeline
     val q2 = StreamingDedup.run(spark, s"$root/input", s"$root/state", cfg,
-      Trigger.AvailableNow(), maxFilesPerTrigger = 1)
+      Trigger.AvailableNow(), maxFilesPerTrigger = 1,
+      stateP = 16, compactEvery = 2)
     q2.awaitTermination()
     assert(distinctSigs() === images.count())
     val streamedPairs = pairSet(
@@ -103,6 +108,91 @@ class StreamingDedupSpec extends AnyFunSuite {
     assert(streamedPairs.subsetOf(truthPairs),
       s"${streamedPairs.diff(truthPairs).size} streamed pairs outside planted groups")
     images.unpersist(); ()
+  }
+
+  test("per-batch state read cost stays flat as batch count grows (bucket prune + compaction)") {
+    val cfg = DedupConfig()
+    val root = Files.createTempDirectory("graft-stream-flat").toString
+    val state = s"$root/state"
+    val stateP = 32
+    val compactEvery = 4
+    val (images, _) = SyntheticCorpus.generate(spark,
+      nGroups = 10, variantsPerGroup = 2, nDistractors = 10)
+    val rows = images.localCheckpoint()
+    val ids = rows.select("image_id").collect().map(_.getString(0)).sorted
+    val chunks = ids.grouped(2).toSeq // 15 micro-batches of 2 images
+    chunks.zipWithIndex.foreach { case (chunk, i) =>
+      val batch = rows.filter(col("image_id").isin(chunk.toSeq: _*))
+      StreamingDedup.processBatch(spark, batch, state, cfg, batchId = i.toLong,
+        metrics = true, stateP = stateP, compactEvery = compactEvery)
+    }
+    // compaction bounds the committed dir count: one base + < compactEvery
+    // recent batches per table (vs one dir PER BATCH unbounded)
+    for (table <- Seq("index", "sigs", "ss_anchors", "ss_windows", "pairs")) {
+      val dirs = new java.io.File(s"$state/$table").listFiles
+        .filter(f => f.isDirectory && !f.getName.startsWith("."))
+      assert(dirs.length <= compactEvery + 1,
+        s"$table has ${dirs.length} committed dirs after ${chunks.size} " +
+          s"batches — compaction not bounding state")
+    }
+    val m = StreamingDedup.metricsFromState(spark, state)
+      .orderBy("batch_id").collect()
+    assert(m.length == chunks.size)
+    val read = m.map(_.getAs[Long]("state_files_read"))
+    val total = m.map(_.getAs[Long]("state_files_total"))
+    // directory pruning: the final batch must NOT read the whole state
+    assert(read.last < total.last,
+      s"final batch read ${read.last}/${total.last} files — no pruning")
+    // flatness: read cost per batch is (pruned base partitions + <=
+    // compactEvery uncompacted batch dirs), NOT stream history. Compare the
+    // last batch against earlier batches at the SAME phase of the
+    // compaction cycle (same uncompacted-dir count): under the old
+    // O(history) layout the last batch reads ~2.3x the mid-stream one here;
+    // under the bounded layout both read base + (i % compactEvery) batches,
+    // the base only growing with bucket occupancy (slack below)
+    val last = read.length - 1
+    val samePhase = Seq(last - compactEvery, last - 2 * compactEvery)
+      .filter(_ > compactEvery).map(read)
+    assert(samePhase.nonEmpty)
+    assert(read.last <= samePhase.max * 3 / 2 + 8,
+      s"read cost growing with history: ${read.toSeq}")
+  }
+
+  test("replay after compaction is idempotent and loses no state") {
+    val cfg = DedupConfig()
+    val root = Files.createTempDirectory("graft-stream-compact-replay").toString
+    val state = s"$root/state"
+    val (images, truth) = SyntheticCorpus.generate(spark,
+      nGroups = 6, variantsPerGroup = 3, nDistractors = 6)
+    val rows = images.localCheckpoint()
+    val ids = rows.select("image_id").collect().map(_.getString(0)).sorted
+    val chunks = ids.grouped(3).toSeq
+    chunks.zipWithIndex.foreach { case (chunk, i) =>
+      val batch = rows.filter(col("image_id").isin(chunk.toSeq: _*))
+      StreamingDedup.processBatch(spark, batch, state, cfg, batchId = i.toLong,
+        metrics = false, stateP = 16, compactEvery = 3)
+    }
+    val once = StreamingDedup.clustersFromState(spark, state)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    // crash-recovery replay of the LAST batch (its own dirs overwritten;
+    // everything older is partly inside a compacted base by now)
+    val lastChunk = chunks.last
+    val lastBatch = rows.filter(col("image_id").isin(lastChunk.toSeq: _*))
+    StreamingDedup.processBatch(spark, lastBatch, state, cfg,
+      batchId = (chunks.size - 1).toLong,
+      metrics = false, stateP = 16, compactEvery = 3)
+    val twice = StreamingDedup.clustersFromState(spark, state)
+      .distinct().collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(twice === once)
+    // and the planted truth is still fully recovered from compacted state
+    val streamedPairs = pairSet(StreamingDedup.clustersFromState(spark, state))
+    val tl = truth.select(col("group_id"), col("image_id").as("a"))
+    val tr = truth.select(col("group_id"), col("image_id").as("b"))
+    val truthPairs = tl.join(tr, "group_id").filter(col("a") < col("b"))
+      .select("a", "b").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(truthPairs.subsetOf(streamedPairs),
+      s"missed ${truthPairs.diff(streamedPairs).size} truth pairs after compaction")
   }
 
   test("processBatch replay is idempotent (checkpoint-recovery safety)") {
