@@ -201,7 +201,19 @@ object SparkEntry {
       // reference histograms attract/repulse pairs (evalsimhashweights
       // .cpp:52-99), never all pairs. Same-label pairs are the labeled set
       // here; the join is an equi-join on label, not a cross product.
-      val e = rd(s, dir, "embeddings")
+      // Per-label membership is CAPPED deterministically (first `cap`
+      // members by vec_id) so a huge label cannot go quadratic — the drop
+      // is counted and logged, never silent (north rule), and the DuckDB
+      // oracle applies the identical cap.
+      val cap = 100
+      val e0 = rd(s, dir, "embeddings")
+      val wnd = Window.partitionBy("label").orderBy("vec_id")
+      val e = e0.withColumn("rn", row_number().over(wnd))
+        .filter(col("rn") <= cap).drop("rn")
+      val total = e0.count(); val kept = e.count()
+      if (kept < total)
+        println(s"q27: per-label cap $cap dropped ${total - kept} of " +
+          s"$total members from the pair histogram")
       val withNorm = e.select(col("vec_id"), col("label"), col("embedding"),
         EmbeddingOps.normCol(col("embedding")).as("nrm"))
       val a = withNorm.select(col("label"), col("vec_id").as("a"),
@@ -224,52 +236,73 @@ object SparkEntry {
       // U1 + trainer (simhashtrainer.cpp:89-158) + A4 eval
       // (evalsimhashweights.cpp:52-99): learn per-feature weights from
       // attract/repulse pairs over the documents corpus, then report the
-      // pair-distance stats under untrained vs trained weights. The hash
-      // kernel + SGD run in the trainer; the stats are relational over the
-      // dumped per-phase signatures -> DuckDB-checked.
+      // pair-distance stats under untrained vs trained weights. The WHOLE
+      // featurize/resolve chain is distributed (shingle explode -> global
+      // feature ids -> per-doc sorted id vectors -> pair-resolution joins,
+      // the Spark form of learning/trainingdata.cpp:65-145); only the
+      // distinct-feature hash table (the weight vector's index, which the
+      // driver-side solver holds by construction) and the tiny resolved
+      // pair set ever reach the driver. Stats are relational over dumped
+      // per-phase signatures -> DuckDB-checked.
       import s.implicits._
-      import graft.learning.{SimHashTrainer, TrainPair}
+      import graft.learning.SimHashTrainer
       val docs = rd(s, dir, "documents")
-      val docFeats = docs.select(col("doc_id"), col("text")).collect().map { r =>
-        val toks = r.getString(1).split("\\s+").filter(_.nonEmpty)
-        val feats = toks.sliding(3).filter(_.size == 3)
+      val shingleUdf = udf((text: String) => {
+        val toks = text.split("\\s+").filter(_.nonEmpty)
+        toks.sliding(3).filter(_.size == 3)
           .map(w => graft.core.HashFamily.tuple3Hash128(w(0), w(1), w(2), 0L))
           .toArray.distinct
-        r.getLong(0) -> feats
-      }.sortBy(_._1)
-      val featIds = docFeats.flatMap(_._2).distinct.sorted.zipWithIndex.toMap
-      val hashes = featIds.toSeq.sortBy(_._2).map(_._1).toArray
+      })
+      val feats = docs
+        .select(col("doc_id").as("function_key"),
+          explode(shingleUdf(col("text"))).as("h"))
+        .select(col("function_key"), col("h._1").as("feature_hi"),
+          col("h._2").as("feature_lo"))
+      val (byDoc, hashes) = SimHashTrainer.featureTable(s, feats)
       val hi = hashes.map(_._1); val lo = hashes.map(_._2)
-      val docIdx = docFeats.map { case (id, fs) =>
-        id -> fs.map(featIds)
-      }.toMap
       // attract = the LSH near-dup pairs; repulse = deterministic far pairs
+      // (attract pair #i repels doc at rank i%n from doc at rank (i+n/2)%n
+      // — rank joins, no driver-side id arrays)
       val attract = DedupOps.minhashLshDedup(docs, 0.5)
-        .select("doc_a", "doc_b").collect()
-        .map(r => (r.getLong(0), r.getLong(1)))
-      val ids = docFeats.map(_._1)
-      val repulse = attract.indices.map { i =>
-        (ids(i % ids.length), ids((i + ids.length / 2) % ids.length))
-      }.filter(p => p._1 != p._2).toArray
-      val pairs =
-        attract.map { case (a, b) =>
-          TrainPair(docIdx(a), docIdx(b), attract = true) } ++
-        repulse.map { case (a, b) =>
-          TrainPair(docIdx(a), docIdx(b), attract = false) }
-      val w = SimHashTrainer.train(s, Left(pairs), hi, lo, maxIters = 50)
-      val wm = SimHashTrainer.weightMap(hashes, w)
-      def sigRows(phase: String, weights: Map[Long, Double]) =
-        docFeats.map { case (id, fs) =>
-          val (h, l) = graft.core.SimHash.simhashOfHashes(fs.toSeq, weights)
-          (id, phase, h, l)
-        }.toSeq
-      val sigs = OracleDump.dump("q29_sigs",
-        (sigRows("untrained", Map.empty) ++ sigRows("trained", wm))
-          .toDF("doc_id", "phase", "sim_hi", "sim_lo"))
+        .select(col("doc_a").as("a"), col("doc_b").as("b"))
+      val nDocs = docs.count()
+      val ranked = docs.select("doc_id").orderBy("doc_id")
+        .rdd.zipWithIndex.map { case (r, i) => (r.getLong(0), i) }
+        .toDF("rid", "rank")
+      val attractIdx = attract.orderBy("a", "b")
+        .rdd.zipWithIndex.map { case (r, i) => (r.getLong(0), r.getLong(1), i) }
+        .toDF("a", "b", "i")
+      val repulse = attractIdx
+        .join(ranked.select(col("rank").as("r1"), col("rid").as("ra")),
+          pmod(col("i"), lit(nDocs)) === col("r1"))
+        .join(ranked.select(col("rank").as("r2"), col("rid").as("rb")),
+          pmod(col("i") + lit(nDocs / 2), lit(nDocs)) === col("r2"))
+        .filter(col("ra") =!= col("rb"))
+        .select(col("ra").as("a"), col("rb").as("b"))
       val pairDf = OracleDump.dump("q29_pairs",
-        (attract.map(p => (p._1, p._2, "attract")) ++
-          repulse.map(p => (p._1, p._2, "repulse"))).toSeq
-          .toDF("a", "b", "pair_set"))
+        attract.withColumn("pair_set", lit("attract"))
+          .unionByName(repulse.withColumn("pair_set", lit("repulse"))))
+      val resolved = SimHashTrainer.resolvePairs(byDoc,
+        pairDf.withColumn("attract", col("pair_set") === "attract")
+          .select("a", "b", "attract"))
+      val w = SimHashTrainer.train(s, Right(resolved), hi, lo, maxIters = 50)
+      val wm = SimHashTrainer.weightMap(hashes, w)
+      // per-doc signatures under both weight sets, computed where the
+      // feature vectors live (broadcast hash table + weights, one pass)
+      val bHashes = s.sparkContext.broadcast(hashes)
+      def sigFor(phase: String, weights: Map[Long, Double]) = {
+        val bW = s.sparkContext.broadcast(weights)
+        val sigUdf = udf((fs: Seq[Int]) => {
+          val hs = fs.map(f => bHashes.value(f))
+          graft.core.SimHash.simhashOfHashes(hs, bW.value)
+        })
+        byDoc.select(col("function_key").as("doc_id"), lit(phase).as("phase"),
+            sigUdf(col("feats")).as("sg"))
+          .select(col("doc_id"), col("phase"),
+            col("sg._1").as("sim_hi"), col("sg._2").as("sim_lo"))
+      }
+      val sigs = OracleDump.dump("q29_sigs",
+        sigFor("untrained", Map.empty).unionByName(sigFor("trained", wm)))
       pairDf
         .join(sigs.select(col("doc_id").as("a"), col("phase"),
           col("sim_hi").as("a_hi"), col("sim_lo").as("a_lo")), "a")
@@ -308,9 +341,15 @@ object SparkEntry {
       val inputDir = s"${OracleDump.Root}/q32_input"
       deleteRecursively(new java.io.File(stateDir))
       val (images, _) = OracleDump.sharedCorpus(s, 40, 3, 30)
-      images.repartition(4).write.mode("overwrite").parquet(inputDir)
+      // ONE AvailableNow micro-batch: multi-batch behavior (probe pruning,
+      // compaction, replay) is what StreamingDedupSpec exercises; here the
+      // operators under the oracle are the accumulate-probe-verify chain,
+      // and draining file-by-file was 28% of the whole bench in scheduling
+      // overhead (r2 verdict #5)
+      images.coalesce(2).write.mode("overwrite").parquet(inputDir)
       graft.streaming.StreamingDedup.run(s, inputDir, stateDir,
-        DedupConfig(), Trigger.AvailableNow(), maxFilesPerTrigger = 2)
+        DedupConfig(), Trigger.AvailableNow(), maxFilesPerTrigger = 4,
+        metrics = true)
         .awaitTermination()
       OracleDump.dump("q32_pairs",
         s.read.option("recursiveFileLookup", "true")
@@ -330,6 +369,21 @@ object SparkEntry {
           .select(col("image_id").as("id"), col("group_id"),
             col("sim_hi"), col("sim_lo")))
       graft.eval.RocEval.exactRoc(sigs)
+    }),
+    "q33_roc_approx" -> ((s, _) => {
+      // the APPROXIMATE (LSH bucket probe) retrieval curve of evaluate_ROC_
+      // curve.py — the permuted-band index is the dumped kernel evidence;
+      // bucket collision join, per-(query,candidate) best similarity, and
+      // the full rate grid are re-derived relationally by DuckDB
+      val cfg = DedupConfig()
+      val (images, truth) = OracleDump.sharedCorpus(s, 40, 3, 30)
+      val sigs = OracleDump.dump("q33_sigs",
+        Dedup.signatures(images, cfg).join(truth, "image_id")
+          .select(col("image_id").as("id"), col("group_id"),
+            col("sim_hi"), col("sim_lo")))
+      val index = OracleDump.dump("q33_index",
+        graft.index.SimIndex.build(sigs.select("id", "sim_hi", "sim_lo"), cfg))
+      graft.eval.RocEval.approxRocFromIndex(index, sigs)
     })
   )
 
@@ -569,8 +623,10 @@ object SparkEntry {
         |    AS recall
         |FROM t LEFT JOIN p ON t.a = p.a AND t.b = p.b""".stripMargin,
     "q27_cos_histogram" ->
-      """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
-        |  FROM embeddings)
+      """WITH e0 AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v,
+        |  row_number() OVER (PARTITION BY label ORDER BY vec_id) AS rn
+        |  FROM embeddings),
+        |e AS (SELECT vec_id, label, v FROM e0 WHERE rn <= 100)
         |SELECT round(list_dot_product(a.v, b.v) /
         |   (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 1)
         |   AS cos_bucket, count(*) AS n
@@ -629,6 +685,39 @@ object SparkEntry {
         |    128 - (bit_count(xor(q.qh, o.sim_hi)) +
         |           bit_count(xor(q.ql, o.sim_lo))) AS sim
         |  FROM q JOIN s o ON o.id <> q.qid),
+        |cnt AS (SELECT qid, cutoff,
+        |    sum(CASE WHEN relevant AND sim >= cutoff THEN 1 ELSE 0 END) AS rel_ret,
+        |    sum(CASE WHEN NOT relevant AND sim >= cutoff THEN 1 ELSE 0 END) AS irr_ret
+        |  FROM sc CROSS JOIN cut GROUP BY qid, cutoff),
+        |per AS (SELECT g.cutoff,
+        |    CAST(coalesce(c.rel_ret, 0) AS DOUBLE) / (g.gsize - 1) AS tpr,
+        |    CAST(coalesce(c.irr_ret, 0) AS DOUBLE) /
+        |      ((SELECT count(*) FROM s) - g.gsize) AS fpr,
+        |    CASE WHEN coalesce(c.rel_ret, 0) + coalesce(c.irr_ret, 0) > 0
+        |      THEN CAST(coalesce(c.irr_ret, 0) AS DOUBLE) /
+        |        (coalesce(c.rel_ret, 0) + coalesce(c.irr_ret, 0))
+        |      ELSE 0.0 END AS irr
+        |  FROM (SELECT qid, gsize, cutoff FROM q CROSS JOIN cut) g
+        |  LEFT JOIN cnt c ON c.qid = g.qid AND c.cutoff = g.cutoff)
+        |SELECT cutoff, round(avg(tpr), 6) AS tpr, round(avg(fpr), 6) AS fpr,
+        |  round(avg(irr), 6) AS irr
+        |FROM per GROUP BY cutoff ORDER BY cutoff""".stripMargin,
+    "q33_roc_approx" ->
+      s"""WITH s AS (SELECT * FROM read_parquet('${OracleDump.glob("q33_sigs")}')),
+        |i AS (SELECT * FROM read_parquet('${OracleDump.glob("q33_index")}')),
+        |gs AS (SELECT group_id, count(*) AS gsize FROM s GROUP BY group_id),
+        |q AS (SELECT s.id AS qid, s.group_id AS qg, gs.gsize
+        |  FROM s JOIN gs ON s.group_id = gs.group_id WHERE gs.gsize >= 2),
+        |hits AS (SELECT x.id AS qid, y.id AS oid,
+        |    max(128 - (bit_count(xor(x.sim_hi, y.sim_hi)) +
+        |               bit_count(xor(x.sim_lo, y.sim_lo)))) AS sim
+        |  FROM i x JOIN i y
+        |    ON x.band_id = y.band_id AND x.band_key = y.band_key
+        |    AND x.id <> y.id
+        |  GROUP BY 1, 2),
+        |cut AS (SELECT unnest([96,100,104,108,112,116,120,124,128]) AS cutoff),
+        |sc AS (SELECT h.qid, q.gsize, (q.qg = o.group_id) AS relevant, h.sim
+        |  FROM hits h JOIN q ON q.qid = h.qid JOIN s o ON o.id = h.oid),
         |cnt AS (SELECT qid, cutoff,
         |    sum(CASE WHEN relevant AND sim >= cutoff THEN 1 ELSE 0 END) AS rel_ret,
         |    sum(CASE WHEN NOT relevant AND sim >= cutoff THEN 1 ELSE 0 END) AS irr_ret

@@ -47,11 +47,17 @@ object RocEval {
     * instead of the full sweep. Non-colliding pairs are simply never
     * retrieved — the approximation under measurement. */
   def approxRoc(sigs: DataFrame, cfg: graft.pipeline.DedupConfig =
-      graft.pipeline.DedupConfig(), cutoffs: Seq[Int] = DefaultCutoffs): DataFrame = {
+      graft.pipeline.DedupConfig(), cutoffs: Seq[Int] = DefaultCutoffs): DataFrame =
+    approxRocFromIndex(graft.index.SimIndex.build(
+      sigs.select("id", "sim_hi", "sim_lo"), cfg), sigs, cutoffs)
+
+  /** `approxRoc` over an ALREADY-BUILT (e.g. persisted or dumped) band
+    * index — everything downstream of the index is pure relational algebra,
+    * re-derivable by the DuckDB oracle from the same index table (q33). */
+  def approxRocFromIndex(index: DataFrame, sigs: DataFrame,
+      cutoffs: Seq[Int] = DefaultCutoffs): DataFrame = {
     val n = sigs.count()
     val groupSizes = sigs.groupBy("group_id").agg(count(lit(1)).as("gsize"))
-    val index = graft.index.SimIndex.build(
-      sigs.select("id", "sim_hi", "sim_lo"), cfg)
     val probes = index.select(col("band_id"), col("band_key"),
       col("id").as("qid"), col("sim_hi").as("q_hi"), col("sim_lo").as("q_lo"))
     val hits = probes.join(

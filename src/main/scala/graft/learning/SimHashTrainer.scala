@@ -172,9 +172,26 @@ object SimHashTrainer {
 
   /** Train per-feature weights. Mirrors `SGDSolver::solve`
     * (`sgdsolver.cpp:17-108`). Returns the weight vector indexed by
-    * feature id. */
-  def train(spark: SparkSession, pairs: Either[Array[TrainPair], DataFrame],
-      hiBits: Array[Long], loBits: Array[Long], maxIters: Int = 500): Array[Double] = {
+    * feature id.
+    *
+    * `Right(df)` is the scale path: the solver evaluates loss+gradient as a
+    * distributed `groupBy(feature).sum` pass per line-search probe. A pair
+    * set at or below `localPairThreshold` rows short-circuits to the local
+    * loop over the SAME kernel (sorted for a deterministic FP summation
+    * order) — thousands of probe-sized Spark jobs would be pure scheduling
+    * overhead at that size. */
+  def train(spark: SparkSession, pairs0: Either[Array[TrainPair], DataFrame],
+      hiBits: Array[Long], loBits: Array[Long], maxIters: Int = 500,
+      localPairThreshold: Long = 10000L): Array[Double] = {
+    import spark.implicits._
+    val pairs: Either[Array[TrainPair], DataFrame] = pairs0 match {
+      case Right(df) if df.count() <= localPairThreshold =>
+        Left(df.orderBy(col("attract"), col("aFeats"), col("bFeats"))
+          .as[TrainPair].collect())
+      case other => other
+    }
+    pairs.foreach(df =>
+      df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val n = hiBits.length
     val nAttract: Long = pairs.fold(
       p => p.count(_.attract).toLong, df => df.filter(col("attract")).count())
@@ -210,36 +227,81 @@ object SimHashTrainer {
       }
       iter += 1
     }
+    pairs.foreach(_.unpersist(false))
     w
   }
 
+  /** Distributed feature-vector construction — the Spark form of the
+    * reference loader's first pass (`learning/trainingdata.cpp:65-95`):
+    * global feature dedup + deterministic id assignment (U2,
+    * `RefFormats.featureIds`) and one groupBy building each record's
+    * sorted feature-id array. Nothing corpus-sized reaches the driver;
+    * only the distinct-feature hash table is collected — that is the
+    * weight vector's index, which the driver-side solver must hold anyway
+    * (exactly as the reference's in-memory trainer does).
+    *
+    * @param funcFeats (function_key, feature_hi, feature_lo) exploded rows
+    * @return ((function_key, feats: Array[Int]), feature hashes by id)
+    */
+  def featureTable(spark: SparkSession,
+      funcFeats: DataFrame): (DataFrame, Array[(Long, Long)]) = {
+    val ids = graft.refio.RefFormats.featureIds(funcFeats).localCheckpoint()
+    val hashes = ids.orderBy("feature_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val byFunc = funcFeats.join(ids, Seq("feature_hi", "feature_lo"))
+      .groupBy("function_key")
+      .agg(sort_array(collect_list(col("feature_id").cast("int"))).as("feats"))
+    (byFunc, hashes)
+  }
+
+  /** Distributed pair resolution (J4, second pass of
+    * `learning/trainingdata.cpp:96-145`): `pairs` (a, b, attract) joined
+    * to the per-record feature vectors. Pairs naming unknown records drop
+    * out (inner join) — the reference skips them the same way. The result
+    * feeds `train(spark, Right(df), ...)` directly. */
+  def resolvePairs(byFunc: DataFrame, pairs: DataFrame): DataFrame =
+    pairs
+      .join(byFunc.select(col("function_key").as("a"),
+        col("feats").as("aFeats")), "a")
+      .join(byFunc.select(col("function_key").as("b"),
+        col("feats").as("bFeats")), "b")
+      .select("aFeats", "bFeats", "attract")
+
   /** Load a reference-format training directory (`functions.txt`,
-    * `attract.txt`, `repulse.txt` — `learning/trainingdata.cpp:65-145`).
-    * Returns (pairs, feature hashes indexed by feature id). */
-  def load(spark: SparkSession, dir: String): (Array[TrainPair], Array[(Long, Long)]) = {
+    * `attract.txt`, `repulse.txt` — `learning/trainingdata.cpp:65-145`) as
+    * a DISTRIBUTED resolved pair table + the feature hash table. The
+    * corpus never reaches the driver (featurize, id assignment, and pair
+    * resolution are all DataFrame jobs); the result feeds
+    * `train(spark, Right(df), ...)`. */
+  def loadDistributed(spark: SparkSession,
+      dir: String): (DataFrame, Array[(Long, Long)]) = {
     val feats = graft.refio.RefFormats.readFunctionFeatures(
       spark, s"$dir/functions.txt")
-    val ids = graft.refio.RefFormats.featureIds(feats)
-      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2).toInt))
-      .toMap
-    val funcFeats = feats.collect()
-      .groupBy(_.getString(0))
-      .map { case (k, rs) =>
-        k -> rs.map(r => ids((r.getLong(1), r.getLong(2)))).toArray
-      }
-    def pairsOf(file: String, attract: Boolean): Array[TrainPair] = {
+    val (byFunc, hashes) = featureTable(spark, feats)
+    def pairsOf(file: String, attract: Boolean): Option[DataFrame] = {
       val f = new java.io.File(s"$dir/$file")
-      if (!f.exists) Array.empty
-      else graft.refio.RefFormats.readPairs(spark, f.getPath).collect()
-        .flatMap { r =>
-          for (a <- funcFeats.get(r.getString(0));
-               b <- funcFeats.get(r.getString(1)))
-            yield TrainPair(a, b, attract)
-        }
+      if (!f.exists) None
+      else Some(graft.refio.RefFormats.readPairs(spark, f.getPath)
+        .withColumn("attract", lit(attract)))
     }
-    val hashes = ids.toSeq.sortBy(_._2).map(_._1).toArray
-    (pairsOf("attract.txt", attract = true) ++
-      pairsOf("repulse.txt", attract = false), hashes)
+    val pairs = (pairsOf("attract.txt", attract = true).toSeq ++
+      pairsOf("repulse.txt", attract = false).toSeq)
+      .reduceOption(_.unionByName(_))
+      .getOrElse(spark.emptyDataFrame
+        .withColumn("a", lit("")).withColumn("b", lit(""))
+        .withColumn("attract", lit(true)).limit(0))
+    (resolvePairs(byFunc, pairs), hashes)
+  }
+
+  /** `loadDistributed`, collected — only the RESOLVED PAIRS land on the
+    * driver (bounded by the labeled pair count, not the corpus), for the
+    * local solver short-circuit on small training sets. */
+  def load(spark: SparkSession,
+      dir: String): (Array[TrainPair], Array[(Long, Long)]) = {
+    import spark.implicits._
+    val (pairDf, hashes) = loadDistributed(spark, dir)
+    (pairDf.orderBy(col("attract"), col("aFeats"), col("bFeats"))
+      .as[TrainPair].collect(), hashes)
   }
 
   /** `WriteWeightsFile` (`simhashtrainer.cpp:71-87`): `hex128 weight`

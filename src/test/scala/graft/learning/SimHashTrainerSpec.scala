@@ -1,6 +1,7 @@
 package graft.learning
 
 import java.nio.file.Files
+import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
 import graft.SparkTestBase
 import graft.core.{BitOps, SimHash}
@@ -64,7 +65,7 @@ class SimHashTrainerSpec extends AnyFunSuite {
       val w = SimHashTrainer.train(spark, Left(pairs), hi, lo, maxIters = 200)
       val wm = SimHashTrainer.weightMap(features, w)
       // hash both functions of the first attract pair with trained weights
-      val p = pairs.head
+      val p = pairs.find(_.attract).get
       val hA = SimHash.simhashOfHashes(p.aFeats.map(f => (hi(f), lo(f))).toSeq, wm)
       val hB = SimHash.simhashOfHashes(p.bFeats.map(f => (hi(f), lo(f))).toSeq, wm)
       val hA0 = SimHash.simhashOfHashes(p.aFeats.map(f => (hi(f), lo(f))).toSeq, Map.empty)
@@ -91,6 +92,31 @@ class SimHashTrainerSpec extends AnyFunSuite {
       SimHash.simhashOfHashes(b.map(f => (hi(f), lo(f))).toSeq, wm))
     assert(trained - untrained > 10,
       s"trained $trained vs untrained $untrained")
+  }
+
+  test("end-to-end distributed: loadDistributed + Right(df) training from functions.txt") {
+    import spark.implicits._
+    val base = "/root/reference/testdata/train_simple_attraction2"
+    assume(new java.io.File(base).exists, "reference fixture not present")
+    // the whole chain is DataFrame jobs: functions.txt explode -> global
+    // feature ids -> per-function sorted id vectors -> pair resolution ->
+    // distributed groupBy(feature).sum gradient (localPairThreshold = 0
+    // forces the distributed solver path; no corpus collect anywhere)
+    val (pairDf, features) = SimHashTrainer.loadDistributed(spark, base)
+    assert(pairDf.count() > 0)
+    val hi = features.map(_._1); val lo = features.map(_._2)
+    val w = SimHashTrainer.train(spark, Right(pairDf), hi, lo,
+      maxIters = 100, localPairThreshold = 0L)
+    val wm = SimHashTrainer.weightMap(features, w)
+    val p = pairDf.filter(col("attract")).as[TrainPair].collect().head
+    val hA = SimHash.simhashOfHashes(p.aFeats.map(f => (hi(f), lo(f))).toSeq, wm)
+    val hB = SimHash.simhashOfHashes(p.bFeats.map(f => (hi(f), lo(f))).toSeq, wm)
+    assert(hamming(hA, hB) === 0, s"trained distance ${hamming(hA, hB)}")
+    // and the distributed load resolves exactly the pairs the collected
+    // loader sees
+    val (localPairs, localFeatures) = SimHashTrainer.load(spark, base)
+    assert(localFeatures.toSeq === features.toSeq)
+    assert(localPairs.length === pairDf.count())
   }
 
   test("distributed evaluate (groupBy(feature).sum) matches local loop") {
