@@ -9,7 +9,11 @@ import org.apache.spark.sql.functions._
   *
   * Cost shape matters more than data volume here: at dedup workloads the
   * edge set is a small fraction of the vertex set, and clusters are
-  * near-cliques (diameter 2-3). So:
+  * near-cliques (diameter 2-3). Two paths, one contract: small edge sets
+  * (post-symmetrize count <= `localEdgeThreshold`) collapse via a
+  * driver-local union-find — a distributed fixpoint on kilobytes is pure
+  * scheduling overhead — while large ones run the iterative loop. For the
+  * loop:
   *  - propagation runs ONLY over vertices incident to an edge; the (vast)
   *    singleton majority never enters the loop and is unioned back at the end;
   *  - each round combines one-hop neighbor propagation with pointer
@@ -29,15 +33,32 @@ object ConnectedComponents {
 
   /** @param edges two string columns `a`, `b` (undirected pairs)
     * @param vertices one string column `id` (all vertices, incl. singletons)
+    * @param localEdgeThreshold symmetrized-edge count at or below which the
+    *   component labels are computed by a driver-local union-find instead of
+    *   the iterative join loop. A distributed fixpoint on a KB-sized edge
+    *   set is pure scheduling overhead (measured ~6 s for a 3.7k-image
+    *   corpus whose union-find takes milliseconds); the switch is on EDGE
+    *   volume — the only thing that grows with data is the (vast) singleton
+    *   majority, which never enters either path. Results are bit-identical
+    *   (same min-id-per-component contract, asserted in the spec); the
+    *   418k-image scaling evidence stays well above the threshold, so the
+    *   distributed loop remains the measured path at scale.
     * @return (id, cluster_id) with cluster_id = min id in the component
     */
   def run(spark: SparkSession, edges: DataFrame, vertices: DataFrame,
-      maxIters: Int = 25): DataFrame = {
+      maxIters: Int = 25, localEdgeThreshold: Long = 500000L): DataFrame = {
     // symmetrize once; checkpoint — reused every iteration
     val sym = edges.select(col("a").as("src"), col("b").as("dst"))
       .union(edges.select(col("b").as("src"), col("a").as("dst")))
       .distinct()
       .localCheckpoint()
+
+    if (sym.count() <= localEdgeThreshold) {
+      val labels = localUnionFind(spark, sym)
+      val singletons = vertices.join(labels.select("id"), Seq("id"), "left_anti")
+        .select(col("id"), col("id").as("cluster_id"))
+      return labels.union(singletons)
+    }
 
     // only edge-incident vertices propagate
     var labels = sym.select(col("src").as("id")).distinct()
@@ -86,5 +107,51 @@ object ConnectedComponents {
     val singletons = vertices.join(labels.select("id"), Seq("id"), "left_anti")
       .select(col("id"), col("id").as("cluster_id"))
     labels.union(singletons)
+  }
+
+  /** Driver-local path for small edge sets: classic union-find with path
+    * compression + union by rank, then min id per root — exactly the
+    * min-label fixpoint the loop computes, in one collect and zero
+    * iterations. */
+  private def localUnionFind(spark: SparkSession, sym: DataFrame): DataFrame = {
+    import spark.implicits._
+    val e = sym.collect()
+    val index = new java.util.HashMap[String, Integer]()
+    val names = scala.collection.mutable.ArrayBuffer.empty[String]
+    def idOf(s: String): Int = {
+      val got = index.get(s)
+      if (got ne null) got.intValue()
+      else {
+        val i = names.length
+        index.put(s, Integer.valueOf(i)); names += s; i
+      }
+    }
+    val parent = scala.collection.mutable.ArrayBuffer.empty[Int]
+    val rank = scala.collection.mutable.ArrayBuffer.empty[Byte]
+    def find(x0: Int): Int = {
+      var x = x0
+      while (parent(x) != x) { parent(x) = parent(parent(x)); x = parent(x) }
+      x
+    }
+    e.foreach { r =>
+      val a = idOf(r.getString(0)); val b = idOf(r.getString(1))
+      while (parent.length < names.length) {
+        parent += parent.length; rank += 0
+      }
+      val ra = find(a); val rb = find(b)
+      if (ra != rb) {
+        if (rank(ra) < rank(rb)) parent(ra) = rb
+        else if (rank(ra) > rank(rb)) parent(rb) = ra
+        else { parent(rb) = ra; rank(ra) = (rank(ra) + 1).toByte }
+      }
+    }
+    val minOf = new java.util.HashMap[Int, String]()
+    names.indices.foreach { i =>
+      val r = find(i)
+      val cur = minOf.get(r)
+      if (cur == null || names(i) < cur) minOf.put(r, names(i))
+    }
+    names.indices.map(i => (names(i), minOf.get(find(i))))
+      .toDF("id", "cluster_id")
   }
 }

@@ -74,26 +74,39 @@ class DedupPipelineSpec extends AnyFunSuite {
     assert(pairs.map(r => (r.getString(0), r.getString(1))).toSet === Set(("a", "b")))
   }
 
-  test("connected components: chain, clique, singleton") {
+  test("connected components: chain, clique, singleton (both paths identical)") {
     import spark.implicits._
     val edges = Seq(("a", "b"), ("b", "c"), ("x", "y")).toDF("a", "b")
     val vertices = Seq("a", "b", "c", "x", "y", "z").toDF("id")
-    val got = ConnectedComponents.run(spark, edges, vertices)
+    val expect = Map("a" -> "a", "b" -> "a", "c" -> "a",
+      "x" -> "x", "y" -> "x", "z" -> "z")
+    // local union-find path (default threshold)
+    val local = ConnectedComponents.run(spark, edges, vertices)
       .collect().map(r => r.getString(0) -> r.getString(1)).toMap
-    assert(got === Map("a" -> "a", "b" -> "a", "c" -> "a",
-      "x" -> "x", "y" -> "x", "z" -> "z"))
+    assert(local === expect)
+    // distributed iterative path (threshold 0 forces the loop)
+    val dist = ConnectedComponents.run(spark, edges, vertices,
+        localEdgeThreshold = 0L)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(dist === expect)
   }
 
   test("connected components: 600-node chain converges (pointer doubling, O(log D))") {
     import spark.implicits._
     // one-hop-per-iteration propagation needs 600 rounds for this chain and
-    // silently returned split clusters at maxIters=25; doubling needs ~10
+    // silently returned split clusters at maxIters=25; doubling needs ~10.
+    // threshold 0 forces the DISTRIBUTED loop — the path under test
     val n = 600
     val edges = (0 until n - 1).map(i => (f"v$i%04d", f"v${i + 1}%04d")).toDF("a", "b")
     val vertices = (0 until n).map(i => f"v$i%04d").toDF("id")
-    val got = ConnectedComponents.run(spark, edges, vertices)
+    val got = ConnectedComponents.run(spark, edges, vertices,
+      localEdgeThreshold = 0L)
     assert(got.select("cluster_id").distinct().count() === 1)
     assert(got.filter(col("cluster_id") === "v0000").count() === n)
+    // and the local path agrees on the same chain
+    val loc = ConnectedComponents.run(spark, edges, vertices)
+    assert(loc.select("cluster_id").distinct().count() === 1)
+    assert(loc.filter(col("cluster_id") === "v0000").count() === n)
   }
 
   test("degenerate identical-signature run: linear chain pairs, no quadratic blowup (skew guard)") {
