@@ -44,7 +44,11 @@ object StreamJob {
     val mode = args.lift(2)
     val spark = Bench.makeSession(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
     def writeClusters(): Unit = {
-      val clusters = StreamingDedup.clustersFromState(spark, stateDir)
+      // incremental: folds only batches newer than the labels snapshot,
+      // re-clustering just the touched components (falls back to one full
+      // pass when the snapshot lags a compaction). At most one clustering
+      // runner per stateDir — same single-writer rule as ingest.
+      val clusters = StreamingDedup.clustersIncremental(spark, stateDir)
       clusters.write.mode("overwrite").parquet(s"$stateDir/clusters_out")
       println(s"clusters: ${spark.read.parquet(s"$stateDir/clusters_out").count()} rows")
     }

@@ -417,6 +417,14 @@ object StreamingDedup {
       fs.listStatus(table).filter(_.isDirectory).map(_.getPath.toString): _*)
   }
 
+  private val sigSchema = StructType(Seq(
+    StructField("image_id", StringType),
+    StructField("caption_norm", StringType),
+    StructField("sim_hi", LongType), StructField("sim_lo", LongType),
+    StructField("minhash", ArrayType(LongType))))
+  private val pairSchema = StructType(Seq(
+    StructField("a", StringType), StructField("b", StringType)))
+
   /** Periodic clustering over the accumulated pair log: connected
     * components across every id seen so far. The pair log may hold
     * duplicate pairs from bucket re-probes / replayed batches —
@@ -429,21 +437,142 @@ object StreamingDedup {
     * state yields an empty result, not an error. */
   def clustersFromState(spark: SparkSession, stateDir: String): DataFrame = {
     import spark.implicits._
-    val sigSchema = StructType(Seq(
-      StructField("image_id", StringType),
-      StructField("caption_norm", StringType),
-      StructField("sim_hi", LongType), StructField("sim_lo", LongType),
-      StructField("minhash", ArrayType(LongType))))
     val (sigDf, _) = readState(spark, s"$stateDir/sigs", sigSchema,
       excludeBatch = None, touchedP = None, wantStats = false)
     val ids = sigDf.select(col("image_id").as("id")).distinct()
     if (ids.isEmpty)
       return Seq.empty[(String, String)].toDF("image_id", "cluster_id")
-    val pairSchema = StructType(Seq(
-      StructField("a", StringType), StructField("b", StringType)))
     val (pairs, _) = readState(spark, s"$stateDir/pairs", pairSchema,
       excludeBatch = None, touchedP = None, wantStats = false)
     ConnectedComponents.run(spark, pairs.select("a", "b"), ids)
       .withColumnRenamed("id", "image_id")
+  }
+
+  /** Internals of one incremental-clustering step, surfaced for the
+    * cost-proportionality spec: the subgraph actually re-clustered. */
+  final case class IncrementalStats(fullRecompute: Boolean,
+      newEdges: Long, subgraphEdges: Long, subgraphVertices: Long)
+
+  /** INCREMENTAL periodic clustering: fold only the batches newer than the
+    * previous label snapshot into it, re-clustering just the components
+    * those new edges touch.
+    *
+    *  - Previous labels live in `<stateDir>/labels/upto_<W>` (W = the
+    *    newest batch id folded in; `_done`-committed like all state).
+    *  - New edges' endpoints name the AFFECTED old clusters; every other
+    *    label row is provably unchanged (min-id labeling is per-component)
+    *    and passes through untouched.
+    *  - The re-clustered subgraph is (affected members ∪ new ids) with
+    *    (new edges ∪ one star edge per affected member to its old label —
+    *    collapsing each old component in one hop). Its size is proportional
+    *    to new arrivals + touched components, never to stream history, and
+    *    it is usually small enough to take ConnectedComponents' local
+    *    union-find path outright.
+    *  - If compaction has folded batches beyond W into a base (the label
+    *    snapshot lagged more than `compactEvery` batches), per-batch deltas
+    *    are no longer addressable and the step falls back to one full
+    *    recompute — correct, and self-healing: the new snapshot restores
+    *    incrementality.
+    *
+    * Returns the same frame `clustersFromState` would. At most one
+    * clustering runner may own `<stateDir>/labels` at a time (same
+    * single-writer rule as the ingesting query itself). */
+  def clustersIncremental(spark: SparkSession, stateDir: String): DataFrame =
+    clustersIncrementalWithStats(spark, stateDir)._1
+
+  def clustersIncrementalWithStats(spark: SparkSession,
+      stateDir: String): (DataFrame, IncrementalStats) = {
+    import spark.implicits._
+    val labelsTable = s"$stateDir/labels"
+    val (fs, lt) = fileSystem(spark, labelsTable)
+    val SnapRe = "upto_(-?\\d+)".r
+    val prevSnap: Option[(Long, Path)] =
+      if (!fs.exists(lt)) None
+      else fs.listStatus(lt).toSeq.filter(_.isDirectory).flatMap { st =>
+        st.getPath.getName match {
+          case SnapRe(w) if isCommitted(fs, st.getPath) =>
+            Some((w.toLong, st.getPath))
+          case _ => None
+        }
+      }.sortBy(_._1).lastOption
+
+    val (fsS, sigT) = fileSystem(spark, s"$stateDir/sigs")
+    val sigC = committedDirs(fsS, sigT, None)
+    val (fsP, pairT) = fileSystem(spark, s"$stateDir/pairs")
+    val pairC = committedDirs(fsP, pairT, None)
+    def baseIdOf(c: Committed): Option[Long] = c.base.flatMap(_.getName match {
+      case BaseRe(id) => Some(id.toLong)
+      case _ => None
+    })
+    val baseFloor = (baseIdOf(sigC).toSeq ++ baseIdOf(pairC).toSeq)
+      .maxOption.getOrElse(Long.MinValue)
+    val maxBatch = ((sigC.batches ++ pairC.batches).map(_._1) :+ baseFloor)
+      .max
+
+    def writeSnapshot(labels: DataFrame, upto: Long): DataFrame = {
+      val dir = new Path(lt, s"upto_$upto")
+      clearDone(fs, dir)
+      val out = labels.localCheckpoint()
+      out.coalesce(4).write.mode("overwrite").parquet(dir.toString)
+      markDone(fs, dir)
+      // older snapshots are subsumed; best-effort cleanup
+      prevSnap.filter(_._1 != upto).foreach(p => fs.delete(p._2, true))
+      out
+    }
+
+    prevSnap match {
+      case Some((w, snapDir)) if w >= baseFloor =>
+        val newSigDirs = sigC.batches.filter(_._1 > w).map(_._2.toString)
+        val newPairDirs = pairC.batches.filter(_._1 > w).map(_._2.toString)
+        val prev = spark.read.parquet(snapDir.toString)
+        if (newSigDirs.isEmpty && newPairDirs.isEmpty)
+          return (prev, IncrementalStats(fullRecompute = false, 0L, 0L, 0L))
+        // anti-join: an id can only be NEW if the snapshot has never
+        // labeled it (defensive — a replayed id must not appear both as an
+        // untouched old label and as a fresh singleton)
+        val newIds =
+          (if (newSigDirs.isEmpty) emptyDf(spark, sigSchema)
+           else spark.read.schema(sigSchema).parquet(newSigDirs: _*))
+            .select(col("image_id").as("id")).distinct()
+            .join(prev.select(col("image_id").as("id")), Seq("id"), "left_anti")
+        val newPairs =
+          (if (newPairDirs.isEmpty) emptyDf(spark, pairSchema)
+           else spark.read.schema(pairSchema).parquet(newPairDirs: _*))
+            .select("a", "b").distinct().localCheckpoint()
+        val endpoints = newPairs.select(col("a").as("image_id"))
+          .union(newPairs.select(col("b").as("image_id"))).distinct()
+        val affected = prev.join(endpoints, "image_id")
+          .select("cluster_id").distinct()
+        val members = prev.join(affected, "cluster_id").localCheckpoint()
+        val starEdges = members
+          .filter(col("image_id") =!= col("cluster_id"))
+          .select(col("image_id").as("a"), col("cluster_id").as("b"))
+        val subVertices = members.select(col("image_id").as("id"))
+          .union(endpoints.select(col("image_id").as("id")))
+          .union(newIds)
+          .distinct()
+        val subEdges = newPairs.union(starEdges)
+        val re = ConnectedComponents.run(spark, subEdges, subVertices)
+          .withColumnRenamed("id", "image_id")
+        val untouched = prev.join(affected, Seq("cluster_id"), "left_anti")
+          .select("image_id", "cluster_id")
+        // stats BEFORE the snapshot write: their plans still read the old
+        // snapshot files, which writeSnapshot deletes once the new one is
+        // committed
+        val stats = IncrementalStats(fullRecompute = false,
+          newEdges = newPairs.count(), subgraphEdges = subEdges.count(),
+          subgraphVertices = subVertices.count())
+        val out = writeSnapshot(
+          untouched.unionByName(re.select("image_id", "cluster_id")), maxBatch)
+        (out, stats)
+      case _ =>
+        // first run, or the snapshot fell behind a compaction — one full
+        // pass restores incrementality
+        val full = clustersFromState(spark, stateDir)
+        if (sigC.base.isEmpty && sigC.batches.isEmpty)
+          return (full, IncrementalStats(fullRecompute = true, 0L, 0L, 0L))
+        val out = writeSnapshot(full, maxBatch)
+        (out, IncrementalStats(fullRecompute = true, 0L, 0L, 0L))
+    }
   }
 }

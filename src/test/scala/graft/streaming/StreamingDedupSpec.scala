@@ -195,6 +195,69 @@ class StreamingDedupSpec extends AnyFunSuite {
       s"missed ${truthPairs.diff(streamedPairs).size} truth pairs after compaction")
   }
 
+  test("incremental clustering: equals full recompute, keeps untouched labels, cost ∝ new edges") {
+    val cfg = DedupConfig()
+    val root = Files.createTempDirectory("graft-stream-inc").toString
+    val state = s"$root/state"
+    val (images, _) = SyntheticCorpus.generate(spark,
+      nGroups = 10, variantsPerGroup = 3, nDistractors = 10)
+    val rows = images.localCheckpoint()
+    val ids = rows.select("image_id").collect().map(_.getString(0)).sorted
+    val chunks = ids.grouped(8).toSeq
+    def sameClusters(a: Map[String, String], b: Map[String, String]): Unit = {
+      // labels are canonical (min id per component) so maps compare directly
+      assert(a === b)
+    }
+    var batch = 0L
+    chunks.take(3).foreach { c =>
+      StreamingDedup.processBatch(spark,
+        rows.filter(col("image_id").isin(c.toSeq: _*)), state, cfg,
+        batchId = batch, stateP = 16, compactEvery = 100)
+      batch += 1
+    }
+    // snapshot bootstrap = one full pass
+    val (inc0, st0) = StreamingDedup.clustersIncrementalWithStats(spark, state)
+    assert(st0.fullRecompute)
+    sameClusters(
+      inc0.collect().map(r => (r.getString(0), r.getString(1))).toMap,
+      StreamingDedup.clustersFromState(spark, state)
+        .collect().map(r => (r.getString(0), r.getString(1))).toMap)
+    val before = inc0.collect().map(r => (r.getString(0), r.getString(1))).toMap
+    // fold in one more batch INCREMENTALLY
+    chunks.drop(3).take(1).foreach { c =>
+      StreamingDedup.processBatch(spark,
+        rows.filter(col("image_id").isin(c.toSeq: _*)), state, cfg,
+        batchId = batch, stateP = 16, compactEvery = 100)
+      batch += 1
+    }
+    val (inc1, st1) = StreamingDedup.clustersIncrementalWithStats(spark, state)
+    assert(!st1.fullRecompute)
+    val incMap = inc1.collect().map(r => (r.getString(0), r.getString(1))).toMap
+    sameClusters(incMap,
+      StreamingDedup.clustersFromState(spark, state)
+        .collect().map(r => (r.getString(0), r.getString(1))).toMap)
+    // label stability: ids whose component the new batch never touched
+    // keep their exact previous label
+    val touched = incMap.filter { case (id, cl) => before.get(id).exists(_ != cl) }
+    touched.keys.foreach { id =>
+      assert(!before.contains(id) || incMap(id) <= before(id)) // only merges
+    }
+    // cost proportionality: the re-clustered subgraph is bounded by new
+    // edges + members of the clusters they touch — far below the full log
+    val totalPairs = spark.read.option("recursiveFileLookup", "true")
+      .parquet(s"$state/pairs").distinct().count()
+    assert(st1.subgraphEdges <= st1.newEdges + inc1.count(),
+      s"subgraph ${st1.subgraphEdges} edges vs ${st1.newEdges} new")
+    assert(st1.subgraphVertices < inc1.count(),
+      s"re-clustered ${st1.subgraphVertices} of ${inc1.count()} vertices")
+    assert(totalPairs > st1.newEdges, "new batch should be a minority of the log")
+    // idle call: nothing new -> the snapshot is returned as-is
+    val (inc2, st2) = StreamingDedup.clustersIncrementalWithStats(spark, state)
+    assert(!st2.fullRecompute && st2.subgraphEdges === 0L)
+    sameClusters(incMap,
+      inc2.collect().map(r => (r.getString(0), r.getString(1))).toMap)
+  }
+
   test("processBatch replay is idempotent (checkpoint-recovery safety)") {
     val cfg = DedupConfig()
     val root = Files.createTempDirectory("graft-stream-replay").toString
