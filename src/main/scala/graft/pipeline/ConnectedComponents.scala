@@ -35,18 +35,21 @@ object ConnectedComponents {
     * @param vertices one string column `id` (all vertices, incl. singletons)
     * @param localEdgeThreshold symmetrized-edge count at or below which the
     *   component labels are computed by a driver-local union-find instead of
-    *   the iterative join loop. A distributed fixpoint on a KB-sized edge
-    *   set is pure scheduling overhead (measured ~6 s for a 3.7k-image
-    *   corpus whose union-find takes milliseconds); the switch is on EDGE
-    *   volume — the only thing that grows with data is the (vast) singleton
-    *   majority, which never enters either path. Results are bit-identical
-    *   (same min-id-per-component contract, asserted in the spec); the
-    *   418k-image scaling evidence stays well above the threshold, so the
-    *   distributed loop remains the measured path at scale.
+    *   the iterative join loop. The loop's per-iteration cost is dominated
+    *   by fixed shuffle/scheduling, not data (measured: ~6 s for a
+    *   3.7k-image corpus whose union-find takes milliseconds; ~36 s for a
+    *   418k-image corpus's 1.5M edges, an Amdahl tail that caps measured
+    *   N->4N efficiency), so small edge sets belong on the driver — the
+    *   2M default costs <= ~2M x ~100 B ≈ 200 MB of driver heap, well
+    *   inside any production driver. The switch is on EDGE volume: dup
+    *   edges are a small fraction of rows, and the (vast) singleton
+    *   majority never enters either path. Results are bit-identical (same
+    *   min-id-per-component contract, asserted in the spec); past the
+    *   threshold the pointer-doubling loop is the scale path.
     * @return (id, cluster_id) with cluster_id = min id in the component
     */
   def run(spark: SparkSession, edges: DataFrame, vertices: DataFrame,
-      maxIters: Int = 25, localEdgeThreshold: Long = 500000L): DataFrame = {
+      maxIters: Int = 25, localEdgeThreshold: Long = 2000000L): DataFrame = {
     // symmetrize once; checkpoint — reused every iteration
     val sym = edges.select(col("a").as("src"), col("b").as("dst"))
       .union(edges.select(col("b").as("src"), col("a").as("dst")))
