@@ -83,6 +83,20 @@ object SimIndex {
         col("file_name"), col("symbol"), col("vulnerable"))),
       Seq("id"), "left")
 
+  /** Index introspection — the `indexed_functions` / `get_used_size`
+    * surface (`pybindings.cpp:430-474`, stats dump
+    * `simhashsearchindex.cpp:189-211`): total index entries, distinct
+    * indexed records, occupied buckets, and the largest bucket (the skew
+    * signal). Free/used BYTE sizes are deliberately absent — columnar
+    * storage is elastic, the mmap-full guard (F8) has no analog. */
+  def stats(index: DataFrame): DataFrame = {
+    val buckets = index.groupBy("band_id", "band_key").count()
+    index.agg(count(lit(1)).as("index_entries"),
+        countDistinct("id").as("indexed_records"))
+      .crossJoin(buckets.agg(count(lit(1)).as("occupied_buckets"),
+        max("count").as("max_bucket")))
+  }
+
   /** `GetOddsOfRandomHit` (`simhashsearchindex.cpp:142-157`), same
     * direction and scale as the reference: "such a deviation would occur by
     * chance once every RESULT searches" — BIGGER is better; < 1 means the

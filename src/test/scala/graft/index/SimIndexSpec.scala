@@ -60,6 +60,19 @@ class SimIndexSpec extends AnyFunSuite {
     assert(SimIndex.queryTopN(index, q, 5, 0.8).count() === 0)
   }
 
+  test("stats: entries = records x bands, occupancy + skew surfaced (§2.11)") {
+    import spark.implicits._
+    val index = SimIndex.build(corpus.toDF("id", "sim_hi", "sim_lo"))
+    val s = SimIndex.stats(index).collect()(0)
+    // 200 records x 28 bands, like the reference's 1-add => buckets entries
+    // (simhashsearchindex_test.cpp:18-45)
+    assert(s.getAs[Long]("index_entries") === 200L * 28)
+    assert(s.getAs[Long]("indexed_records") === 200L)
+    assert(s.getAs[Long]("occupied_buckets") > 0L)
+    assert(s.getAs[Long]("max_bucket") >= 1L &&
+      s.getAs[Long]("max_bucket") <= 200L)
+  }
+
   test("oddsOfRandomHit: reference direction (bigger = better), scales 1/N") {
     // simhashsearchindex.cpp:142-157 semantics: expected searches per random
     // hit at this similarity — HIGHER similarity => larger (rarer) odds
