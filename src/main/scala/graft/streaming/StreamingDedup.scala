@@ -40,10 +40,18 @@ import graft.pipeline.{ConnectedComponents, Dedup, DedupConfig, SubstringDup}
   * to touched buckets + recent arrivals, never to stream history. Every
   * `compactEvery` batches the committed batch dirs fold into a new base, so
   * file counts stay bounded (≈ stateP + compactEvery·tables) instead of
-  * growing 5 dirs per batch forever. `stateP` is sized so a typical
-  * micro-batch touches a minority of partitions (bigger index / smaller
-  * batches → raise it; it plays the role of Iceberg's `bucket(band_key)`
-  * partition spec at cluster scale).
+  * growing per batch forever. `stateP` is sized so a typical micro-batch
+  * touches a minority of partitions (bigger index / smaller batches →
+  * raise it; it plays the role of Iceberg's `bucket(band_key)` partition
+  * spec at cluster scale). `stateP` is PERSISTED with the state
+  * (`<stateDir>/meta/state_p`) and validated every batch: base `p=` dirs
+  * written under one modulus must never be pruned under another (that
+  * would silently skip partitions holding real duplicates), so a mismatch
+  * fails fast with the recompaction procedure in the error. The metrics
+  * table reports the observed touched-partition fraction and a
+  * recommended `stateP` derived from base size at each compaction, so an
+  * operator sees when pruning stops working (fraction → 1) BEFORE it
+  * matters.
   *
   * == Replay / crash safety ==
   *
@@ -53,17 +61,28 @@ import graft.pipeline.{ConnectedComponents, Dedup, DedupConfig, SubstringDup}
   *      duplicate copy — duplicated band rows would otherwise consume
   *      sliding-window slots and push true neighbors out of the W-row
   *      window.
-  *   2. `_done` commit markers: a batch/base dir is visible to readers only
-  *      after a `_done` file lands (written after ALL of the dir's writes
-  *      finish; deleted FIRST on replay before the overwrites). A
-  *      concurrent `clustersFromState` (the documented periodic-clustering
-  *      mode) can therefore never observe a half-written batch — pairs
-  *      present but sigs absent, or files vanishing mid-overwrite.
+  *   2. ONE commit marker per batch (`<stateDir>/commits/batch_<id>`),
+  *      created only after EVERY table's files for that batch are in
+  *      place and deleted FIRST on replay. A batch is either visible in
+  *      all tables or in none — a concurrent `clustersFromState` /
+  *      `clustersIncremental` can never observe pairs without their
+  *      signatures (a per-table marker scheme could: the label snapshot
+  *      would then permanently drop the unseen table's rows).
   *   3. Compaction only folds batches OLDER than the current one — their
-  *      offsets are already committed, so they can never be replayed — and
-  *      commits via write-to-tmp → `_done` → atomic rename. Readers take
-  *      the newest complete base and ignore any batch dir it subsumes, so a
-  *      crash between rename and cleanup leaves duplicates invisible.
+  *      offsets are already committed, so they can never be replayed —
+  *      and commits via write-to-tmp → `_done` → atomic rename. Readers
+  *      take the newest complete base and ignore any batch dir it
+  *      subsumes, so a crash between rename and cleanup leaves duplicates
+  *      invisible. Consumed dirs are NOT deleted at compaction time: a
+  *      concurrent cluster-mode reader may have lazily planned a scan
+  *      over them (Spark fails mid-job on files deleted under a planned
+  *      scan). They go onto a deletion ledger (`<stateDir>/_pending_delete`)
+  *      and are removed one full compaction cycle later — any scan planned
+  *      against the old view has long finished, and the reader rule
+  *      (newest base subsumes every older batch/base) keeps the lingering
+  *      dirs invisible to new reads. The ledger is recomputed from what is
+  *      subsumed-and-present each cycle, so a crash between rename and
+  *      ledger write self-heals instead of leaking dirs forever.
   *
   * Clustering stays a periodic batch job over the pair log
   * (`clustersFromState`) — connected components is a global fixpoint and
@@ -109,16 +128,36 @@ object StreamingDedup {
     if (fs.exists(m)) { fs.delete(m, false); () }
   }
 
+  /** The batch-commit marker directory for a state root: one empty file
+    * `batch_<id>` per committed micro-batch, covering ALL of that batch's
+    * tables at once. */
+  private def commitsDir(table: Path): Path =
+    new Path(table.getParent, "commits")
+
+  private def commitMarker(stateDir: Path, batchId: Long): Path =
+    new Path(new Path(stateDir, "commits"), s"batch_$batchId")
+
+  /** Batch ids with a commit marker present. One listing, not one RPC per
+    * candidate dir. */
+  private def committedBatchIds(fs: FileSystem, commits: Path): Set[Long] =
+    if (!fs.exists(commits)) Set.empty
+    else fs.listStatus(commits).toSeq.flatMap(_.getPath.getName match {
+      case BatchRe(id) => Some(id.toLong)
+      case _ => None
+    }).toSet
+
   /** Committed state of one table: the newest complete base compaction (if
-    * any) and every complete batch dir NEWER than it, excluding the batch
-    * currently being processed. Dirs without `_done` (in-flight, torn) and
-    * batch dirs subsumed by the base (survivors of a crash between
-    * compaction rename and cleanup) are ignored. */
+    * any) and every batch dir NEWER than it whose batch-level commit marker
+    * exists, excluding the batch currently being processed. Dirs without a
+    * marker (in-flight, torn) and batch dirs subsumed by the base
+    * (deferred-delete leftovers, or survivors of a crash between compaction
+    * rename and ledger write) are ignored. */
   private case class Committed(base: Option[Path], batches: Seq[(Long, Path)])
 
   private def committedDirs(fs: FileSystem, table: Path,
       excludeBatch: Option[Long]): Committed = {
     if (!fs.exists(table)) return Committed(None, Nil)
+    val committed = committedBatchIds(fs, commitsDir(table))
     val entries = fs.listStatus(table).toSeq.filter(_.isDirectory)
     val bases = entries.flatMap { st =>
       st.getPath.getName match {
@@ -131,7 +170,7 @@ object StreamingDedup {
     val floor = base.map(_._1)
     val batches = entries.flatMap { st =>
       st.getPath.getName match {
-        case BatchRe(id) if isCommitted(fs, st.getPath) &&
+        case BatchRe(id) if committed.contains(id.toLong) &&
             !excludeBatch.contains(id.toLong) &&
             floor.forall(id.toLong > _) =>
           Some((id.toLong, st.getPath))
@@ -199,28 +238,104 @@ object StreamingDedup {
     (df, stats)
   }
 
+  /** A state table's COMMITTED rows, unpruned — the one reader every
+    * external consumer (evidence dumps, ad-hoc inspection) must go through
+    * so engine and evidence can never diverge on what is committed: a raw
+    * `recursiveFileLookup` read would include in-flight batch dirs,
+    * `.base_*.tmp` compaction leftovers, and deferred-delete dirs the
+    * engine ignores. */
+  def readCommitted(spark: SparkSession, stateDir: String, table: String,
+      schema: StructType): DataFrame =
+    readState(spark, s"$stateDir/$table", schema, excludeBatch = None,
+      touchedP = None, wantStats = false)._1
+
+  /** The committed pair log (may hold duplicate pairs from re-probes /
+    * replayed batches; `distinct` is the caller's choice). */
+  def pairsFromState(spark: SparkSession, stateDir: String): DataFrame =
+    readCommitted(spark, stateDir, "pairs", pairSchema)
+
   private def partCol(cols: Seq[Column], p: Int): Column =
     pmod(xxhash64(cols: _*), lit(p.toLong)).cast("int")
 
-  /** The distinct state-partition numbers the key columns take over `df` —
-    * the touched-partition set driving directory pruning. Uses `partCol`
-    * itself so read- and write-side partitioning can never diverge. */
+  /** The distinct state-partition numbers each tagged key frame takes —
+    * the touched-partition sets driving directory pruning, for SEVERAL
+    * tables in ONE Spark job (a per-table job is pure scheduling overhead
+    * on frames this small). Uses `partCol` itself so read- and write-side
+    * partitioning can never diverge. */
+  private def touchedPartitionsMulti(tagged: Seq[(String, DataFrame, Seq[Column])],
+      p: Int): Map[String, Set[Int]] = {
+    val union = tagged.map { case (tag, df, keys) =>
+      df.select(lit(tag).as("t"), partCol(keys, p).as("p"))
+    }.reduce(_.union(_)).distinct().collect()
+    val m = union.groupBy(_.getString(0))
+      .map { case (t, rows) => t -> rows.map(_.getInt(1)).toSet }
+    tagged.map(_._1).map(t => t -> m.getOrElse(t, Set.empty[Int])).toMap
+  }
+
   private def touchedPartitions(df: DataFrame, keys: Seq[Column],
       p: Int): Set[Int] =
-    df.select(partCol(keys, p).as("p"))
-      .distinct().collect().map(_.getInt(0)).toSet
+    touchedPartitionsMulti(Seq(("x", df, keys)), p)("x")
+
+  // ---------------------------------------------------------------- stateP
+  /** Persist-or-validate the state partition count. The base `p=` layout is
+    * a function of `stateP`; pruning under a different modulus silently
+    * skips partitions holding relevant rows, so a mismatch is an error, not
+    * a degradation. */
+  private def checkStateP(fs: FileSystem, stateDir: Path, stateP: Int): Unit = {
+    val metaDir = new Path(stateDir, "meta")
+    val f = new Path(metaDir, "state_p")
+    if (fs.exists(f)) {
+      val in = fs.open(f)
+      val persisted = try scala.io.Source.fromInputStream(in).mkString.trim.toInt
+      finally in.close()
+      require(persisted == stateP,
+        s"stateP mismatch: state at $stateDir was written with " +
+          s"stateP=$persisted but this run uses stateP=$stateP. Probing " +
+          "would silently mis-prune base partitions. Either restart with " +
+          s"stateP=$persisted, or migrate: run with the OLD value until " +
+          "the next compaction completes, then delete meta/state_p and " +
+          "restart with the new value (the fresh base is rewritten under " +
+          "the active modulus at compaction).")
+    } else {
+      if (!fs.exists(metaDir)) fs.mkdirs(metaDir)
+      val out = fs.create(f, true)
+      try out.write(s"$stateP\n".getBytes("UTF-8")) finally out.close()
+    }
+  }
+
+  // ------------------------------------------------------------ compaction
+  private def pendingLedger(stateDir: Path): Path =
+    new Path(stateDir, "_pending_delete")
+
+  private def readLedger(fs: FileSystem, stateDir: Path): Seq[String] = {
+    val f = pendingLedger(stateDir)
+    if (!fs.exists(f)) Nil
+    else {
+      val in = fs.open(f)
+      try scala.io.Source.fromInputStream(in).getLines()
+        .map(_.trim).filter(_.nonEmpty).toList
+      finally in.close()
+    }
+  }
+
+  private def writeLedger(fs: FileSystem, stateDir: Path,
+      paths: Seq[String]): Unit = {
+    val out = fs.create(pendingLedger(stateDir), true)
+    try out.write(paths.mkString("", "\n", "\n").getBytes("UTF-8"))
+    finally out.close()
+  }
 
   /** Fold the committed base + all batch dirs OLDER than `currentBatch` into
     * a new base (partitioned by `partKeys` hash when given, rows sorted by
-    * `sortCols` for parquet min/max locality), then drop the consumed dirs.
-    * Only ever touches batches whose offsets the streaming engine has
-    * already committed — the current (replayable) batch is never folded. */
+    * `sortCols` for parquet min/max locality). Consumed dirs are NOT
+    * deleted here — see the deferred-deletion contract in the header.
+    * Returns the consumed dir paths (for the deletion ledger). */
   private def compactTable(spark: SparkSession, tablePath: String,
       schema: StructType, currentBatch: Long, partKeys: Option[Seq[Column]],
-      sortCols: Seq[Column], stateP: Int): Unit = {
+      sortCols: Seq[Column], stateP: Int): Seq[String] = {
     val (fs, table) = fileSystem(spark, tablePath)
     val c = committedDirs(fs, table, excludeBatch = Some(currentBatch))
-    if (c.batches.isEmpty) return
+    if (c.batches.isEmpty) return Nil
     val newId = c.batches.map(_._1).max
     val dirs = (c.base.toSeq.flatMap(basePartDirs(fs, _, None)) ++
       c.batches.map(_._2)).map(_.toString)
@@ -240,11 +355,61 @@ object StreamingDedup {
     val dest = new Path(table, s"base_$newId")
     if (fs.exists(dest)) fs.delete(dest, true) // stale replay leftover
     require(fs.rename(tmp, dest), s"compaction rename failed: $tmp -> $dest")
-    // cleanup is best-effort: the reader rule (newest base subsumes every
-    // older batch/base) keeps leftovers invisible if a delete is lost
-    c.base.foreach(b => fs.delete(b, true))
-    c.batches.foreach { case (_, d) => fs.delete(d, true) }
+    (c.base.toSeq ++ c.batches.map(_._2)).map(_.toString)
   }
+
+  /** One compaction round across all state tables: delete what the previous
+    * round deferred, fold each table, write the new deletion ledger
+    * (subsumed dirs + subsumed commit markers, recomputed from what is
+    * actually present so a mid-round crash self-heals). */
+  private def compactAll(spark: SparkSession, stateDir: String,
+      tables: Seq[(String, StructType, Option[Seq[Column]], Seq[Column])],
+      currentBatch: Long, stateP: Int): Unit = {
+    val (fs, root) = fileSystem(spark, stateDir)
+    // (1) previous cycle's deferral is due: any reader that planned a scan
+    // over these dirs has had a full compaction cycle to finish
+    readLedger(fs, root).foreach { p =>
+      val path = new Path(p)
+      if (fs.exists(path)) fs.delete(path, true)
+    }
+    // (2) fold each table
+    val consumed = tables.flatMap { case (name, schema, partKeys, sortCols) =>
+      compactTable(spark, s"$stateDir/$name", schema,
+        currentBatch, partKeys, sortCols, stateP)
+    }
+    // (3) defer: consumed dirs + commit markers now subsumed by every
+    // table's base floor (a marker may only be dropped once NO table still
+    // needs its batch dirs)
+    val floors = tables.map { case (name, _, _, _) =>
+      val (fsT, t) = fileSystem(spark, s"$stateDir/$name")
+      if (!fsT.exists(t)) Long.MinValue
+      else fsT.listStatus(t).toSeq.filter(_.isDirectory).flatMap {
+        st => st.getPath.getName match {
+          case BaseRe(id) if isCommitted(fsT, st.getPath) => Some(id.toLong)
+          case _ => None
+        }
+      }.maxOption.getOrElse(Long.MinValue)
+    }
+    val safeFloor = floors.min
+    val commits = new Path(root, "commits")
+    val staleMarkers =
+      if (!fs.exists(commits)) Nil
+      else fs.listStatus(commits).toSeq.map(_.getPath).filter(_.getName match {
+        case BatchRe(id) => id.toLong <= safeFloor
+        case _ => false
+      }).map(_.toString)
+    writeLedger(fs, root, (consumed ++ staleMarkers).distinct)
+  }
+
+  /** Recommended state partition count for a given base size: enough
+    * partitions that each holds ~`targetBytes` (64 MB default — small
+    * enough that reading a handful per probe is cheap, large enough that
+    * parquet footer overhead stays negligible), never below the active
+    * value. Surfaced in the metrics table at each compaction so operators
+    * raise `stateP` BEFORE probes stop pruning. */
+  def recommendedStateP(baseBytes: Long, current: Int,
+      targetBytes: Long = 64L << 20): Int =
+    math.max(current, math.ceil(baseBytes.toDouble / targetBytes).toInt)
 
   /** One micro-batch: probe new rows against the accumulated index, log
     * verified pairs, grow the index, compact on cadence. Pure DataFrame
@@ -254,8 +419,12 @@ object StreamingDedup {
     * With `metrics = true`, appends one observability row per batch to
     * `<stateDir>/metrics` (north rule: lineage + metrics tables): batch id,
     * new rows, bucket-probed index rows, candidate and accepted pair
-    * counts, and state files read vs present (the prune ratio). Off by
-    * default — the counts cost one extra job each.
+    * counts, state files read vs present (the prune ratio), the observed
+    * touched-partition fraction of the index probe, the active and
+    * recommended `stateP`, and the batch's wall-clock ms. The counts come
+    * from already-materialized frames plus one query Observation — no
+    * recomputation jobs on the timed path. The metrics table is committed
+    * and compacted like every other state table.
     *
     * `batchId` must be unique per DISTINCT batch and monotonically
     * increasing (the streaming engine guarantees both); a replay of the
@@ -263,9 +432,20 @@ object StreamingDedup {
   def processBatch(spark: SparkSession, batch: DataFrame, stateDir: String,
       cfg: DedupConfig, batchId: Long = -1L, metrics: Boolean = false,
       stateP: Int = 64, compactEvery: Int = 8): Unit = {
+    val tWall0 = System.nanoTime()
+    val probeLog = sys.env.contains("SPARK_GRAFT_STREAM_PROBE")
+    var tPhase = tWall0
+    def phase(name: String): Unit = if (probeLog) {
+      val t = System.nanoTime()
+      println(f"STREAMPROBE batch=$batchId $name%-28s ${(t - tPhase) / 1e9}%.3f s")
+      tPhase = t
+    }
     if (batch.isEmpty) return
+    val (fsRoot, rootPath) = fileSystem(spark, stateDir)
+    checkStateP(fsRoot, rootPath, stateP)
     val sigs = Dedup.signatures(batch, cfg).localCheckpoint()
     val newBands = Dedup.bands(sigs, cfg).localCheckpoint()
+    phase("featurize+bands")
     val indexPath = s"$stateDir/index"
     val sigsPath = s"$stateDir/sigs"
     val anchPath = s"$stateDir/ss_anchors"
@@ -273,44 +453,59 @@ object StreamingDedup {
     val pairsPath = s"$stateDir/pairs"
     def batchDir(table: String) = s"$table/batch_$batchId"
     val self = Some(batchId)
-    // replay: withdraw this batch's commit markers BEFORE touching its
-    // files, so a concurrent clustersFromState never reads mid-overwrite
-    val (fsRoot, _) = fileSystem(spark, stateDir)
-    Seq(indexPath, sigsPath, anchPath, winsPath, pairsPath)
-      .foreach(t => clearDone(fsRoot, new Path(batchDir(t))))
+    // replay: withdraw this batch's ONE commit marker BEFORE touching its
+    // files, so a concurrent clustersFromState never reads mid-overwrite —
+    // and never sees some tables' rows without the others'
+    val marker = commitMarker(rootPath, batchId)
+    if (fsRoot.exists(marker)) { fsRoot.delete(marker, false); () }
+    // incremental substring tables for the new rows (needed now: their keys
+    // feed the combined touched-partition job)
+    val w = cfg.substringWindow
+    val newTexts = sigs.select(col("image_id").as("id"),
+      col("caption_norm").as("text"))
+    val newAnch = SubstringDup.anchorTable(newTexts, w).localCheckpoint()
+    val newWins = SubstringDup.windowTable(newTexts, w).localCheckpoint()
+    phase("substring tables")
+    // ONE job computes every prune set derivable from the new rows alone
+    // (the candidate-id set depends on reads below, so it stays separate)
+    val touched0 = touchedPartitionsMulti(Seq(
+      ("idx", newBands, Seq(col("band_id"), col("band_key"))),
+      ("anch", newWins, Seq(col("k"))), // anchors pruned by new window keys
+      ("wins", newAnch, Seq(col("k")))), stateP)
+    phase("touched partitions")
     // bucket probe, two levels: (1) directory prune — only base partitions
     // holding a bucket this batch touches are even listed; (2) exact
     // left-semi on the bucket key
-    val touchedIdxP = touchedPartitions(newBands,
-      Seq(col("band_id"), col("band_key")), stateP)
-    val (oldBands, idxStats) = readState(spark, indexPath, newBands.schema,
-      self, Some(touchedIdxP), metrics)
+    val (oldBands0, idxStats) = readState(spark, indexPath, newBands.schema,
+      self, Some(touched0("idx")), metrics)
     val touched = newBands.select("band_id", "band_key").distinct()
-    val relevantOld = oldBands
+    val relevantOld0 = oldBands0
       .join(touched, Seq("band_id", "band_key"), "left_semi")
+    // metrics mode materializes the (bucket-pruned, so small) probe result
+    // once, making the probed-row count a scan of local blocks instead of a
+    // recomputation of the state read + semi-join
+    val relevantOld =
+      if (metrics) relevantOld0.localCheckpoint() else relevantOld0
     val relevant = relevantOld.union(newBands)
     val cands = Dedup.candidatesMaterialized(relevant, cfg)
+    phase("index probe+candidates")
     // incremental substring pass: only joins touching a NEW row — new
     // anchors vs all windows (new text contained in anything) plus old
     // anchors vs new windows (anything contained in new text). Anchor and
     // window hash tables are state, so old texts are never re-hashed; the
     // equi-join key is `k`, so old-side reads prune to the partitions of
     // the NEW side's keys.
-    val w = cfg.substringWindow
-    val newTexts = sigs.select(col("image_id").as("id"),
-      col("caption_norm").as("text"))
-    val newAnch = SubstringDup.anchorTable(newTexts, w).localCheckpoint()
-    val newWins = SubstringDup.windowTable(newTexts, w).localCheckpoint()
     val (oldAnch, anchStats) = readState(spark, anchPath, newAnch.schema, self,
-      Some(touchedPartitions(newWins, Seq(col("k")), stateP)), metrics)
+      Some(touched0("anch")), metrics)
     val (oldWins, winStats) = readState(spark, winsPath, newWins.schema, self,
-      Some(touchedPartitions(newAnch, Seq(col("k")), stateP)), metrics)
+      Some(touched0("wins")), metrics)
     val ssCands = newAnch.join(oldWins.union(newWins), "k")
       .union(oldAnch.join(newWins, "k"))
       .filter(col("a") =!= col("b"))
       .select(col("a"), col("b"))
       .distinct()
       .localCheckpoint()
+    phase("substring candidates")
     // old signatures: the MinHash verify and the substring contains-check
     // only ever dereference ids that appear in a candidate pair — prune the
     // signature read to exactly those ids' partitions
@@ -325,8 +520,9 @@ object StreamingDedup {
     val allTexts = allSigs.select(col("image_id").as("id"),
       col("caption_norm").as("text"))
     val ssPairs = SubstringDup.verifyContained(ssCands, allTexts)
-    // the five output tables are independent checkpointed plans — submit
-    // them as concurrent Spark jobs instead of five serial write barriers
+    phase("verify plans")
+    // the output tables are independent checkpointed plans — submit them as
+    // concurrent Spark jobs instead of serial write barriers
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration.Duration
     import scala.concurrent.ExecutionContext.Implicits.global
@@ -342,36 +538,55 @@ object StreamingDedup {
     Await.result(Future.sequence(writes.map { case (df, dir) =>
       Future(df.coalesce(4).write.mode("overwrite").parquet(dir))
     }), Duration.Inf)
-    // commit markers only after every file of every table is in place
-    writes.foreach { case (_, dir) => markDone(fsRoot, new Path(dir)) }
+    phase("state writes")
     if (metrics) {
       import spark.implicits._
       val st = idxStats + anchStats + winStats + sigStats
-      Seq((batchId, sigs.count(), relevantOld.count(),
-          cands.count(), batchPairs.count(), st.filesRead, st.filesTotal))
+      // every counted frame is localCheckpointed (counts scan materialized
+      // blocks) and the probe count is an Observation on the candidate job
+      val probed = relevantOld.count() // checkpointed above: local blocks
+      val touchedFrac =
+        if (stateP > 0) touched0("idx").size.toDouble / stateP else 1.0
+      // recommendation derived from the committed index base's byte size —
+      // a driver FS stat, no Spark job
+      val idxBase = committedDirs(fsRoot, new Path(indexPath), self).base
+      val recP = idxBase.map(b =>
+        recommendedStateP(fsRoot.getContentSummary(b).getLength, stateP))
+        .getOrElse(stateP)
+      val wallMs = (System.nanoTime() - tWall0) / 1000000L
+      Seq((batchId, sigs.count(), probed,
+          cands.count(), batchPairs.count(), st.filesRead, st.filesTotal,
+          touchedFrac, stateP, recP, wallMs))
         .toDF("batch_id", "new_rows", "index_rows_probed",
           "candidate_pairs", "pairs_appended",
-          "state_files_read", "state_files_total")
+          "state_files_read", "state_files_total",
+          "touched_frac_idx", "state_p", "recommended_p", "batch_wall_ms")
         .coalesce(1).write.mode("overwrite")
         .parquet(batchDir(s"$stateDir/metrics"))
+      if (touchedFrac > 0.5)
+        println(s"StreamingDedup: batch $batchId touched " +
+          f"$touchedFrac%.2f of $stateP state partitions — pruning is " +
+          "no longer effective; raise stateP (see metrics.recommended_p)")
+      phase("metrics")
     }
+    // ONE commit marker, only after every table's files are in place
+    val out = fsRoot.create(marker, true); out.close()
     // compaction cadence: enough committed PRE-current batches -> fold them
     // (and the previous base) into a new bucket-partitioned base
     val (fsIdx, idxTable) = fileSystem(spark, indexPath)
     val nCommitted =
       committedDirs(fsIdx, idxTable, excludeBatch = self).batches.size
     if (nCommitted >= compactEvery) {
-      compactTable(spark, indexPath, newBands.schema, batchId,
-        Some(Seq(col("band_id"), col("band_key"))),
-        Seq(col("band_id"), col("band_key")), stateP)
-      compactTable(spark, sigsPath, sigs.schema, batchId,
-        Some(Seq(col("image_id"))), Seq(col("image_id")), stateP)
-      compactTable(spark, anchPath, newAnch.schema, batchId,
-        Some(Seq(col("k"))), Seq(col("k")), stateP)
-      compactTable(spark, winsPath, newWins.schema, batchId,
-        Some(Seq(col("k"))), Seq(col("k")), stateP)
-      compactTable(spark, pairsPath, batchPairs.schema, batchId,
-        None, Nil, stateP)
+      compactAll(spark, stateDir, Seq(
+        ("index", newBands.schema,
+          Some(Seq(col("band_id"), col("band_key"))),
+          Seq(col("band_id"), col("band_key"))),
+        ("sigs", sigs.schema, Some(Seq(col("image_id"))), Seq(col("image_id"))),
+        ("ss_anchors", newAnch.schema, Some(Seq(col("k"))), Seq(col("k"))),
+        ("ss_windows", newWins.schema, Some(Seq(col("k"))), Seq(col("k"))),
+        ("pairs", pairSchema, None, Nil),
+        ("metrics", metricsSchema, None, Nil)), batchId, stateP)
+      phase("compaction")
     }
     ()
   }
@@ -383,8 +598,9 @@ object StreamingDedup {
     *
     * Exactly ONE running query may own a given `stateDir` (and its
     * checkpoint) — see StreamJob's ownership note. `stateP` is the state
-    * bucket-partition count (raise it as the index grows so probes keep
-    * pruning); `compactEvery` is the compaction cadence in batches. */
+    * bucket-partition count (persisted with the state; a restart must use
+    * the same value — see `checkStateP`); `compactEvery` is the compaction
+    * cadence in batches. */
   def run(spark: SparkSession, inputDir: String, stateDir: String,
       cfg: DedupConfig = DedupConfig(),
       trigger: Trigger = Trigger.AvailableNow(),
@@ -405,17 +621,23 @@ object StreamingDedup {
       .start()
   }
 
-  /** Per-batch metrics rows accumulated so far (empty frame if none). */
-  def metricsFromState(spark: SparkSession, stateDir: String): DataFrame = {
-    import spark.implicits._
-    val (fs, table) = fileSystem(spark, s"$stateDir/metrics")
-    if (!fs.exists(table))
-      return Seq.empty[(Long, Long, Long, Long, Long, Long, Long)]
-        .toDF("batch_id", "new_rows", "index_rows_probed", "candidate_pairs",
-          "pairs_appended", "state_files_read", "state_files_total")
-    spark.read.parquet(
-      fs.listStatus(table).filter(_.isDirectory).map(_.getPath.toString): _*)
-  }
+  val metricsSchema: StructType = StructType(Seq(
+    StructField("batch_id", LongType), StructField("new_rows", LongType),
+    StructField("index_rows_probed", LongType),
+    StructField("candidate_pairs", LongType),
+    StructField("pairs_appended", LongType),
+    StructField("state_files_read", LongType),
+    StructField("state_files_total", LongType),
+    StructField("touched_frac_idx", DoubleType),
+    StructField("state_p", IntegerType),
+    StructField("recommended_p", IntegerType),
+    StructField("batch_wall_ms", LongType)))
+
+  /** Per-batch metrics rows accumulated so far (empty frame if none).
+    * Committed-only, like every state read: an in-flight batch's metrics
+    * dir is invisible until its commit marker lands. */
+  def metricsFromState(spark: SparkSession, stateDir: String): DataFrame =
+    readCommitted(spark, stateDir, "metrics", metricsSchema)
 
   private val sigSchema = StructType(Seq(
     StructField("image_id", StringType),
@@ -432,9 +654,11 @@ object StreamingDedup {
     * signature log may hold duplicate ids from a replayed batch (state
     * written, checkpoint not yet committed), so the vertex set is
     * explicitly distinct-ed: the output has exactly one row per image.
-    * Only `_done`-committed state is read (safe to run concurrently with
-    * the ingesting query — StreamJob `cluster` mode). An empty/absent
-    * state yields an empty result, not an error. */
+    * Only committed state is read (safe to run concurrently with the
+    * ingesting query — StreamJob `cluster` mode; the single per-batch
+    * commit marker guarantees the pair and signature views describe the
+    * same batch set). An empty/absent state yields an empty result, not
+    * an error. */
   def clustersFromState(spark: SparkSession, stateDir: String): DataFrame = {
     import spark.implicits._
     val (sigDf, _) = readState(spark, s"$stateDir/sigs", sigSchema,
@@ -458,7 +682,8 @@ object StreamingDedup {
     * those new edges touch.
     *
     *  - Previous labels live in `<stateDir>/labels/upto_<W>` (W = the
-    *    newest batch id folded in; `_done`-committed like all state).
+    *    newest batch id folded in; `_done`-committed — the label store has
+    *    its own single writer, so the per-dir marker suffices here).
     *  - New edges' endpoints name the AFFECTED old clusters; every other
     *    label row is provably unchanged (min-id labeling is per-component)
     *    and passes through untouched.
@@ -468,6 +693,9 @@ object StreamingDedup {
     *    to new arrivals + touched components, never to stream history, and
     *    it is usually small enough to take ConnectedComponents' local
     *    union-find path outright.
+    *  - The snapshot id is the max batch id committed ACROSS tables — the
+    *    global marker means sigs and pairs always agree on that set, so a
+    *    snapshot can never cap in a batch whose sig rows are missing.
     *  - If compaction has folded batches beyond W into a base (the label
     *    snapshot lagged more than `compactEvery` batches), per-batch deltas
     *    are no longer addressable and the step falls back to one full

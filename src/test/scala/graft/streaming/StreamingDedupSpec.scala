@@ -126,15 +126,22 @@ class StreamingDedupSpec extends AnyFunSuite {
       StreamingDedup.processBatch(spark, batch, state, cfg, batchId = i.toLong,
         metrics = true, stateP = stateP, compactEvery = compactEvery)
     }
-    // compaction bounds the committed dir count: one base + < compactEvery
-    // recent batches per table (vs one dir PER BATCH unbounded)
-    for (table <- Seq("index", "sigs", "ss_anchors", "ss_windows", "pairs")) {
+    // compaction bounds the dir count: one base + < compactEvery recent
+    // batches per table, PLUS at most one cycle's deferred-delete leftovers
+    // (consumed dirs are tombstoned for one compaction cycle so a
+    // concurrent reader's planned scan cannot lose files underneath it) —
+    // bounded either way, vs one dir PER BATCH unbounded
+    for (table <- Seq("index", "sigs", "ss_anchors", "ss_windows", "pairs",
+        "metrics")) {
       val dirs = new java.io.File(s"$state/$table").listFiles
         .filter(f => f.isDirectory && !f.getName.startsWith("."))
-      assert(dirs.length <= compactEvery + 1,
-        s"$table has ${dirs.length} committed dirs after ${chunks.size} " +
+      assert(dirs.length <= 2 * (compactEvery + 1),
+        s"$table has ${dirs.length} dirs after ${chunks.size} " +
           s"batches — compaction not bounding state")
     }
+    // the deferral is a LEDGER, not a leak: everything listed is deleted
+    // one cycle later, so the ledger names only the latest cycle's dirs
+    assert(new java.io.File(s"$state/_pending_delete").exists)
     val m = StreamingDedup.metricsFromState(spark, state)
       .orderBy("batch_id").collect()
     assert(m.length == chunks.size)
@@ -256,6 +263,69 @@ class StreamingDedupSpec extends AnyFunSuite {
     assert(!st2.fullRecompute && st2.subgraphEdges === 0L)
     sameClusters(incMap,
       inc2.collect().map(r => (r.getString(0), r.getString(1))).toMap)
+  }
+
+  test("restarting with a different stateP fails fast instead of silently mis-pruning") {
+    val cfg = DedupConfig()
+    val root = Files.createTempDirectory("graft-stream-statep").toString
+    val (images, _) = SyntheticCorpus.generate(spark,
+      nGroups = 3, variantsPerGroup = 2, nDistractors = 3)
+    val batch = images.localCheckpoint()
+    StreamingDedup.processBatch(spark, batch, s"$root/state", cfg,
+      batchId = 0L, stateP = 16)
+    // same value: fine (the normal restart path)
+    StreamingDedup.processBatch(spark, batch, s"$root/state", cfg,
+      batchId = 1L, stateP = 16)
+    // different value: base p= dirs were laid out under modulus 16; pruning
+    // under 32 would silently skip partitions holding real duplicates
+    val e = intercept[IllegalArgumentException] {
+      StreamingDedup.processBatch(spark, batch, s"$root/state", cfg,
+        batchId = 2L, stateP = 32)
+    }
+    assert(e.getMessage.contains("stateP mismatch"))
+  }
+
+  test("metrics are committed state: batch-atomic with the data tables, bounded by compaction") {
+    val cfg = DedupConfig()
+    val root = Files.createTempDirectory("graft-stream-metrics").toString
+    val state = s"$root/state"
+    val (images, _) = SyntheticCorpus.generate(spark,
+      nGroups = 4, variantsPerGroup = 2, nDistractors = 4)
+    val rows = images.localCheckpoint()
+    val ids = rows.select("image_id").collect().map(_.getString(0)).sorted
+    val chunks = ids.grouped(4).toSeq
+    chunks.zipWithIndex.foreach { case (chunk, i) =>
+      StreamingDedup.processBatch(spark,
+        rows.filter(col("image_id").isin(chunk.toSeq: _*)), state, cfg,
+        batchId = i.toLong, metrics = true, stateP = 8, compactEvery = 2)
+    }
+    val m = StreamingDedup.metricsFromState(spark, state).orderBy("batch_id")
+      .collect()
+    assert(m.length == chunks.size) // compaction folds rows, loses none
+    m.foreach { r =>
+      val frac = r.getAs[Double]("touched_frac_idx")
+      assert(frac >= 0.0 && frac <= 1.0)
+      assert(r.getAs[Int]("state_p") == 8)
+      assert(r.getAs[Int]("recommended_p") >= 8) // never below the active value
+      assert(r.getAs[Long]("batch_wall_ms") > 0L)
+    }
+    // an UNCOMMITTED batch (files written, marker withdrawn — the state a
+    // crash mid-replay leaves) is invisible to the metrics reader
+    val commits = new java.io.File(s"$state/commits")
+    val marker = new java.io.File(commits, s"batch_${chunks.size - 1}")
+    assert(marker.exists)
+    marker.delete()
+    val mAfter = StreamingDedup.metricsFromState(spark, state).count()
+    assert(mAfter == chunks.size - 1,
+      s"metrics reader saw $mAfter rows with the last batch uncommitted")
+  }
+
+  test("recommendedStateP scales with base size and never shrinks") {
+    assert(StreamingDedup.recommendedStateP(0L, 64) == 64)
+    assert(StreamingDedup.recommendedStateP(1L << 30, 8,
+      targetBytes = 64L << 20) == 16)
+    assert(StreamingDedup.recommendedStateP(1L << 30, 64,
+      targetBytes = 64L << 20) == 64)
   }
 
   test("processBatch replay is idempotent (checkpoint-recovery safety)") {
