@@ -466,12 +466,26 @@ object StreamingDedup {
     val newAnch = SubstringDup.anchorTable(newTexts, w).localCheckpoint()
     val newWins = SubstringDup.windowTable(newTexts, w).localCheckpoint()
     phase("substring tables")
+    // first-batch short-circuit: all six tables commit atomically, so the
+    // index table's committed set witnesses whether ANY state exists. With
+    // none, there is nothing to prune (or read) — skip the prune-set jobs
+    // entirely instead of computing partition sets no read will consult
+    // (measured: ~1.5 s of a 6 s single-batch drain was prune-set jobs
+    // against an empty store)
+    val hasState = {
+      val c = committedDirs(fsRoot, new Path(indexPath), self)
+      c.base.nonEmpty || c.batches.nonEmpty
+    }
+    val noneTouched = Map("idx" -> Set.empty[Int], "anch" -> Set.empty[Int],
+      "wins" -> Set.empty[Int])
     // ONE job computes every prune set derivable from the new rows alone
     // (the candidate-id set depends on reads below, so it stays separate)
-    val touched0 = touchedPartitionsMulti(Seq(
-      ("idx", newBands, Seq(col("band_id"), col("band_key"))),
-      ("anch", newWins, Seq(col("k"))), // anchors pruned by new window keys
-      ("wins", newAnch, Seq(col("k")))), stateP)
+    val touched0 =
+      if (!hasState) noneTouched
+      else touchedPartitionsMulti(Seq(
+        ("idx", newBands, Seq(col("band_id"), col("band_key"))),
+        ("anch", newWins, Seq(col("k"))), // anchors pruned by new window keys
+        ("wins", newAnch, Seq(col("k")))), stateP)
     phase("touched partitions")
     // bucket probe, two levels: (1) directory prune — only base partitions
     // holding a bucket this batch touches are even listed; (2) exact
@@ -513,8 +527,11 @@ object StreamingDedup {
       .union(cands.select(col("b").as("id")))
       .union(ssCands.select(col("a").as("id")))
       .union(ssCands.select(col("b").as("id")))
+    val sigTouched =
+      if (!hasState) Set.empty[Int]
+      else touchedPartitions(candIds, Seq(col("id")), stateP)
     val (oldSigs, sigStats) = readState(spark, sigsPath, sigs.schema, self,
-      Some(touchedPartitions(candIds, Seq(col("id")), stateP)), metrics)
+      Some(sigTouched), metrics)
     val allSigs = oldSigs.union(sigs)
     val verifiedPairs = Dedup.verified(cands, allSigs, cfg)
     val allTexts = allSigs.select(col("image_id").as("id"),
@@ -542,9 +559,10 @@ object StreamingDedup {
     if (metrics) {
       import spark.implicits._
       val st = idxStats + anchStats + winStats + sigStats
-      // every counted frame is localCheckpointed (counts scan materialized
-      // blocks) and the probe count is an Observation on the candidate job
-      val probed = relevantOld.count() // checkpointed above: local blocks
+      // every counted frame is localCheckpointed — counts scan materialized
+      // local blocks, never recompute pipeline work
+      val probed = relevantOld.count()
+      // 0.0 on the first batch (no state, nothing to prune — no prune job)
       val touchedFrac =
         if (stateP > 0) touched0("idx").size.toDouble / stateP else 1.0
       // recommendation derived from the committed index base's byte size —
