@@ -170,6 +170,51 @@ object SimHashTrainer {
     }
   }
 
+  /** Solver outcome: trained weights plus the probe-evaluation count (the
+    * unit of training cost — every evaluation is a full pass over the pair
+    * set, distributed or local) and the final loss. */
+  final case class TrainStats(weights: Array[Double], evals: Int,
+      loss: Double)
+
+  /** The reference's snapshot callback (`simhashtrainer.cpp:132-149`):
+    * every `SnapshotEvery` accepted iterations, write the current weights
+    * as `<dir>/<iter>.snapshot` in the weights-file format — the input of
+    * the reference's `evalsimhashweights` snapshot-curve workflow. */
+  val SnapshotEvery = 20
+
+  def snapshotSink(dir: String,
+      features: Array[(Long, Long)]): (Int, Array[Double]) => Unit = {
+    new java.io.File(dir).mkdirs()
+    (iter, w) => writeWeights(s"$dir/$iter.snapshot", features, w)
+  }
+
+  private val NoSnapshot: (Int, Array[Double]) => Unit = (_, _) => ()
+
+  /** Shared solver prelude: local short-circuit, persistence, pair-set
+    * counts, deterministic init (reference: 1.0 + N(0, 0.01),
+    * `simhashtrainer.cpp:100-107`). */
+  private def prep(spark: SparkSession,
+      pairs0: Either[Array[TrainPair], DataFrame], n: Int,
+      localPairThreshold: Long): (Either[Array[TrainPair], DataFrame],
+      Long, Long, Array[Double]) = {
+    import spark.implicits._
+    val pairs: Either[Array[TrainPair], DataFrame] = pairs0 match {
+      case Right(df) if df.count() <= localPairThreshold =>
+        Left(df.orderBy(col("attract"), col("aFeats"), col("bFeats"))
+          .as[TrainPair].collect())
+      case other => other
+    }
+    pairs.foreach(df =>
+      df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val nAttract: Long = pairs.fold(
+      p => p.count(_.attract).toLong, df => df.filter(col("attract")).count())
+    val nRepulse: Long = pairs.fold(
+      p => p.count(!_.attract).toLong, df => df.filter(!col("attract")).count())
+    val w = Array.tabulate(n)(i =>
+      1.0 + (mix64(0x7EA1L + i).toDouble / Long.MaxValue) * 0.01)
+    (pairs, nAttract, nRepulse, w)
+  }
+
   /** Train per-feature weights. Mirrors `SGDSolver::solve`
     * (`sgdsolver.cpp:17-108`). Returns the weight vector indexed by
     * feature id.
@@ -182,26 +227,24 @@ object SimHashTrainer {
     * overhead at that size. */
   def train(spark: SparkSession, pairs0: Either[Array[TrainPair], DataFrame],
       hiBits: Array[Long], loBits: Array[Long], maxIters: Int = 500,
-      localPairThreshold: Long = 10000L): Array[Double] = {
-    import spark.implicits._
-    val pairs: Either[Array[TrainPair], DataFrame] = pairs0 match {
-      case Right(df) if df.count() <= localPairThreshold =>
-        Left(df.orderBy(col("attract"), col("aFeats"), col("bFeats"))
-          .as[TrainPair].collect())
-      case other => other
-    }
-    pairs.foreach(df =>
-      df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      localPairThreshold: Long = 10000L): Array[Double] =
+    trainWithStats(spark, pairs0, hiBits, loBits, maxIters,
+      localPairThreshold).weights
+
+  def trainWithStats(spark: SparkSession,
+      pairs0: Either[Array[TrainPair], DataFrame],
+      hiBits: Array[Long], loBits: Array[Long], maxIters: Int = 500,
+      localPairThreshold: Long = 10000L,
+      snapshot: (Int, Array[Double]) => Unit = NoSnapshot): TrainStats = {
     val n = hiBits.length
-    val nAttract: Long = pairs.fold(
-      p => p.count(_.attract).toLong, df => df.filter(col("attract")).count())
-    val nRepulse: Long = pairs.fold(
-      p => p.count(!_.attract).toLong, df => df.filter(!col("attract")).count())
-    // 1.0 + deterministic jitter (reference: 1.0 + N(0, 0.01))
-    val w = Array.tabulate(n)(i =>
-      1.0 + (mix64(0x7EA1L + i).toDouble / Long.MaxValue) * 0.01)
-    var (loss, grad) = evaluate(spark, pairs, hiBits, loBits, w,
-      nAttract, nRepulse)
+    val (pairs, nAttract, nRepulse, w) =
+      prep(spark, pairs0, n, localPairThreshold)
+    var evals = 0
+    def eval(x: Array[Double]): (Double, Array[Double]) = {
+      evals += 1
+      evaluate(spark, pairs, hiBits, loBits, x, nAttract, nRepulse)
+    }
+    var (loss, grad) = eval(w)
     var ewag = 1.0
     var iter = 0
     var done = false
@@ -212,8 +255,7 @@ object SimHashTrainer {
       var accepted = false
       while (!accepted && stepsize > 1.0e-10) {
         val next = Array.tabulate(n)(i => w(i) - 10.0 * stepsize * grad(i))
-        val (nl, ng) = evaluate(spark, pairs, hiBits, loBits, next,
-          nAttract, nRepulse)
+        val (nl, ng) = eval(next)
         gain = loss - nl
         if (gain > 0 && !gain.isNaN) {
           System.arraycopy(next, 0, w, 0, n)
@@ -226,9 +268,50 @@ object SimHashTrainer {
         if (ewag < 1.0e-20) done = true
       }
       iter += 1
+      if (iter % SnapshotEvery == 0) snapshot(iter, w.clone())
     }
     pairs.foreach(_.unpersist(false))
-    w
+    TrainStats(w, evals, loss)
+  }
+
+  /** L-BFGS solver — the reference's DEFAULT optimizer
+    * (`spii::LBFGSSolver`, selected at `simhashtrainer.cpp:184-186`; the
+    * published training results are 100-500 L-BFGS steps,
+    * `doc/01-motivation-and-overview.md:380-424`). Classic two-loop
+    * recursion (Nocedal & Wright, Algorithm 7.4) with memory `m`, H0
+    * scaled by the latest curvature pair, and Armijo backtracking from a
+    * unit step. Runs over the SAME `evaluate()` as the SGD solver, so the
+    * distributed `groupBy(feature).sum` scale path is shared — L-BFGS just
+    * needs far fewer of those passes per unit of loss decrease (each
+    * iteration typically accepts the unit step after history warms up,
+    * where SGD's 1/(iter+1) schedule crawls). */
+  def trainLbfgs(spark: SparkSession,
+      pairs0: Either[Array[TrainPair], DataFrame],
+      hiBits: Array[Long], loBits: Array[Long], maxIters: Int = 500,
+      localPairThreshold: Long = 10000L): Array[Double] =
+    trainLbfgsWithStats(spark, pairs0, hiBits, loBits, maxIters,
+      localPairThreshold).weights
+
+  def trainLbfgsWithStats(spark: SparkSession,
+      pairs0: Either[Array[TrainPair], DataFrame],
+      hiBits: Array[Long], loBits: Array[Long], maxIters: Int = 500,
+      localPairThreshold: Long = 10000L, m: Int = 10,
+      snapshot: (Int, Array[Double]) => Unit = NoSnapshot): TrainStats = {
+    val n = hiBits.length
+    val (pairs, nAttract, nRepulse, w0) =
+      prep(spark, pairs0, n, localPairThreshold)
+    val r = Lbfgs.minimize(
+      x => evaluate(spark, pairs, hiBits, loBits, x, nAttract, nRepulse),
+      w0, maxIters, m,
+      stopBelow = 1.0, // the trainer's convergence rule (sgdsolver.cpp:58-63)
+      // first step at the SGD solver's aggressive initial scale (10/‖g‖∞):
+      // the loss surface rewards large weight moves (bits only flip when
+      // accumulators cross zero) and the expansion search corrects overshoot
+      firstStepScale = 10.0,
+      onIteration = (iter, x) =>
+        if (iter % SnapshotEvery == 0) snapshot(iter, x.clone()))
+    pairs.foreach(_.unpersist(false))
+    TrainStats(r.x, r.evals, r.loss)
   }
 
   /** Distributed feature-vector construction — the Spark form of the
@@ -319,4 +402,48 @@ object SimHashTrainer {
     * feature hash's high word (`functionsimhash.cpp:153`). */
   def weightMap(features: Array[(Long, Long)], w: Array[Double]): Map[Long, Double] =
     features.indices.map(i => features(i)._1 -> w(i)).toMap
+
+  /** The reference's snapshot-eval workflow (run `evalsimhashweights` over
+    * each `<iter>.snapshot` a training run left behind — its headline
+    * retrieval numbers come from a 420-step snapshot, `doc/01-motivation-
+    * and-overview.md:576-594`): for every snapshot, hash each record under
+    * those weights and report the labeled pair-set distance stats — the
+    * training curve over iterations.
+    *
+    * @param byFunc (function_key, feats) per-record feature-id vectors
+    *   (from `featureTable`)
+    * @param pairs  (a, b, attract) labeled pairs by function key
+    * @return (snapshot_iter, pair_set, n_pairs, mean_dist, min_dist,
+    *   max_dist), one row per snapshot × pair set */
+  def snapshotCurve(spark: SparkSession, snapshotDir: String,
+      byFunc: DataFrame, hashes: Array[(Long, Long)],
+      pairs: DataFrame): DataFrame = {
+    val files = Option(new java.io.File(snapshotDir).listFiles()).getOrElse(
+        Array.empty[java.io.File])
+      .filter(_.getName.endsWith(".snapshot"))
+      .sortBy(_.getName.stripSuffix(".snapshot").toInt)
+    require(files.nonEmpty, s"no .snapshot files under $snapshotDir")
+    val bHashes = spark.sparkContext.broadcast(hashes)
+    files.toSeq.map { f =>
+      val iter = f.getName.stripSuffix(".snapshot").toInt
+      val wm = graft.refio.RefFormats.readWeights(spark, f.getPath)
+      val bW = spark.sparkContext.broadcast(wm)
+      val sigUdf = udf((fs: Seq[Int]) => {
+        val hs = fs.map(i => bHashes.value(i))
+        graft.core.SimHash.simhashOfHashes(hs, bW.value)
+      })
+      val sims = byFunc
+        .select(col("function_key"), sigUdf(col("feats")).as("sg"))
+        .select(col("function_key"), col("sg._1").as("sim_hi"),
+          col("sg._2").as("sim_lo"))
+      Seq(true, false).map { att =>
+        graft.refio.RefFormats.pairDistanceStats(
+            pairs.filter(col("attract") === att).select("a", "b"), sims)
+          .withColumn("snapshot_iter", lit(iter))
+          .withColumn("pair_set", lit(if (att) "attract" else "repulse"))
+      }.reduce(_.unionByName(_))
+    }.reduce(_.unionByName(_))
+      .select("snapshot_iter", "pair_set", "n_pairs", "mean_dist",
+        "min_dist", "max_dist")
+  }
 }
