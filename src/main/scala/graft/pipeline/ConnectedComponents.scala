@@ -31,6 +31,16 @@ import org.apache.spark.sql.functions._
   */
 object ConnectedComponents {
 
+  /** Measured driver-heap retention of the local path (UnionFindProbe,
+    * 36-char ids, forced-GC diff): ~225 B per symmetrized edge — 113 MB at
+    * 0.5M, 227 MB at 1M, 450 MB at 2M edges (the collected tuple array is
+    * ~5/6 of it, the union-find tables ~1/6). The default threshold spends
+    * at most a quarter of the driver heap on it, capped at 2M edges. */
+  val MeasuredBytesPerEdge = 225L
+
+  def defaultLocalEdgeThreshold: Long =
+    math.min(2000000L, Runtime.getRuntime.maxMemory / 4 / MeasuredBytesPerEdge)
+
   /** @param edges two string columns `a`, `b` (undirected pairs)
     * @param vertices one string column `id` (all vertices, incl. singletons)
     * @param localEdgeThreshold symmetrized-edge count at or below which the
@@ -39,17 +49,21 @@ object ConnectedComponents {
     *   by fixed shuffle/scheduling, not data (measured: ~6 s for a
     *   3.7k-image corpus whose union-find takes milliseconds; ~36 s for a
     *   418k-image corpus's 1.5M edges, an Amdahl tail that caps measured
-    *   N->4N efficiency), so small edge sets belong on the driver — the
-    *   2M default costs <= ~2M x ~100 B ≈ 200 MB of driver heap, well
-    *   inside any production driver. The switch is on EDGE volume: dup
-    *   edges are a small fraction of rows, and the (vast) singleton
-    *   majority never enters either path. Results are bit-identical (same
-    *   min-id-per-component contract, asserted in the spec); past the
-    *   threshold the pointer-doubling loop is the scale path.
+    *   N->4N efficiency), so small edge sets belong on the driver. The
+    *   default is `defaultLocalEdgeThreshold`: at the measured ~225 B/edge
+    *   (see above — NOT the ~100 B a naive estimate gives; tuple + boxed
+    *   HashMap overhead dominate), 2M edges retain ~450 MB, and the
+    *   heap-derived cap keeps the path under 25% of a smaller driver. The
+    *   switch is on EDGE volume: dup edges are a small fraction of rows,
+    *   and the (vast) singleton majority never enters either path. Results
+    *   are bit-identical (same min-id-per-component contract, asserted in
+    *   the spec); past the threshold the pointer-doubling loop is the
+    *   scale path.
     * @return (id, cluster_id) with cluster_id = min id in the component
     */
   def run(spark: SparkSession, edges: DataFrame, vertices: DataFrame,
-      maxIters: Int = 25, localEdgeThreshold: Long = 2000000L): DataFrame = {
+      maxIters: Int = 25,
+      localEdgeThreshold: Long = defaultLocalEdgeThreshold): DataFrame = {
     // symmetrize once; checkpoint — reused every iteration
     val sym = edges.select(col("a").as("src"), col("b").as("dst"))
       .union(edges.select(col("b").as("src"), col("a").as("dst")))
@@ -118,7 +132,14 @@ object ConnectedComponents {
     * iterations. */
   private def localUnionFind(spark: SparkSession, sym: DataFrame): DataFrame = {
     import spark.implicits._
-    val e = sym.collect()
+    // typed collect: tuples of interned-free strings, no Row wrappers
+    val e = sym.as[(String, String)].collect()
+    labelsOf(e).toSeq.toDF("id", "cluster_id")
+  }
+
+  /** The driver-side kernel, separated so UnionFindProbe can measure its
+    * real heap retention (see `localEdgeThreshold` scaladoc). */
+  private[graft] def labelsOf(e: Array[(String, String)]): Array[(String, String)] = {
     val index = new java.util.HashMap[String, Integer]()
     val names = scala.collection.mutable.ArrayBuffer.empty[String]
     def idOf(s: String): Int = {
@@ -136,8 +157,8 @@ object ConnectedComponents {
       while (parent(x) != x) { parent(x) = parent(parent(x)); x = parent(x) }
       x
     }
-    e.foreach { r =>
-      val a = idOf(r.getString(0)); val b = idOf(r.getString(1))
+    e.foreach { case (as, bs) =>
+      val a = idOf(as); val b = idOf(bs)
       while (parent.length < names.length) {
         parent += parent.length; rank += 0
       }
@@ -154,7 +175,6 @@ object ConnectedComponents {
       val cur = minOf.get(r)
       if (cur == null || names(i) < cur) minOf.put(r, names(i))
     }
-    names.indices.map(i => (names(i), minOf.get(find(i))))
-      .toDF("id", "cluster_id")
+    Array.tabulate(names.length)(i => (names(i), minOf.get(find(i))))
   }
 }
