@@ -360,6 +360,35 @@ object SparkEntry {
       graft.streaming.StreamingDedup.clustersFromState(s, stateDir)
         .orderBy("image_id")
     }),
+    "q34_stream_resize" -> ((s, _) => {
+      // stateP migration under the oracle: ingest part of the corpus at
+      // stateP=8 with a compaction in between (so a p=-partitioned base
+      // exists), migrate the state to stateP=32 offline (resizeStateP —
+      // StreamJob `resize` mode), then ingest the rest under the new
+      // modulus. The pair log accumulated ACROSS the migration boundary is
+      // the dumped evidence; DuckDB re-derives the connected components
+      // from it (same oracle shape as q32), so a mis-pruned probe against
+      // the rewritten base — i.e. any lost cross-boundary duplicate —
+      // breaks the hash.
+      val cfg = DedupConfig()
+      val stateDir = s"${OracleDump.Root}/q34_state"
+      deleteRecursively(new java.io.File(stateDir))
+      val (images, _) = OracleDump.sharedCorpus(s, 40, 3, 30)
+      // deterministic hash split; dup groups straddle the resize boundary
+      val part = pmod(crc32(col("image_id")), lit(4))
+      def ingest(q: org.apache.spark.sql.Column, id: Long, p: Int): Unit =
+        graft.streaming.StreamingDedup.processBatch(s, images.filter(q),
+          stateDir, cfg, batchId = id, stateP = p, compactEvery = 1)
+      ingest(part === 0, 0L, 8)
+      ingest(part === 1, 1L, 8) // compaction fires -> p=-partitioned base
+      graft.streaming.StreamingDedup.resizeStateP(s, stateDir, 32)
+      ingest(part >= 2, 2L, 32)
+      OracleDump.dump("q34_pairs",
+        graft.streaming.StreamingDedup.pairsFromState(s, stateDir).distinct())
+      OracleDump.dump("q34_ids", images.select("image_id"))
+      graft.streaming.StreamingDedup.clustersFromState(s, stateDir)
+        .orderBy("image_id")
+    }),
     "q30_roc" -> ((s, _) => {
       // evaluate_ROC_curve.py port over the image corpus: grouped truth,
       // exact-search TPR/FPR/IRR per similarity cutoff (the approximate-
@@ -674,6 +703,19 @@ object SparkEntry {
         |SELECT v.image_id,
         |  least(v.image_id, coalesce(min(r.dst), v.image_id)) AS cluster_id
         |FROM read_parquet('${OracleDump.glob("q32_ids")}') v
+        |LEFT JOIN reach r ON r.src = v.image_id
+        |GROUP BY v.image_id ORDER BY v.image_id""".stripMargin,
+    "q34_stream_resize" ->
+      s"""WITH RECURSIVE pairs AS (
+        |  SELECT a, b FROM read_parquet('${OracleDump.glob("q34_pairs")}')),
+        |sym AS (SELECT a, b FROM pairs UNION SELECT b, a FROM pairs),
+        |reach(src, dst) AS (
+        |  SELECT a, b FROM sym
+        |  UNION
+        |  SELECT r.src, s.b FROM reach r JOIN sym s ON r.dst = s.a)
+        |SELECT v.image_id,
+        |  least(v.image_id, coalesce(min(r.dst), v.image_id)) AS cluster_id
+        |FROM read_parquet('${OracleDump.glob("q34_ids")}') v
         |LEFT JOIN reach r ON r.src = v.image_id
         |GROUP BY v.image_id ORDER BY v.image_id""".stripMargin,
     "q30_roc" ->

@@ -7,7 +7,7 @@ import graft.streaming.StreamingDedup
 /** spark-submit entrypoint for the streaming incremental dedup pipeline —
   * the streaming sibling of `DedupJob`.
   *
-  *   spark-submit --class graft.StreamJob app.jar <inputDir> <stateDir> [intervalSec|cluster]
+  *   spark-submit --class graft.StreamJob app.jar <inputDir> <stateDir> [intervalSec|cluster|resize <newP>]
   *
   * Modes:
   *  - no third arg: drain every file currently in <inputDir> in bounded
@@ -21,6 +21,11 @@ import graft.streaming.StreamingDedup
   *    periodic-clustering companion to a long-running `intervalSec`
   *    instance: it never touches the checkpoint or claims input files, so
   *    it is safe to run concurrently with the ingesting instance.
+  *  - `resize <newP>`: OFFLINE stateP migration (no ingesting or
+  *    cluster-mode instance may be running): rewrites every state table's
+  *    base under the new modulus and persists it — the procedure
+  *    `checkStateP`'s mismatch error prescribes, and the operator response
+  *    to `metrics.recommended_p` outgrowing the active `state_p`.
   *
   * OWNERSHIP: at most ONE ingesting StreamJob (either non-`cluster` mode)
   * may own a given <stateDir> at a time. Structured Streaming's
@@ -55,6 +60,12 @@ object StreamJob {
     mode match {
       case Some("cluster") =>
         writeClusters()
+      case Some("resize") =>
+        val newP = args.lift(3).flatMap(_.toIntOption).getOrElse {
+          System.err.println("usage: ... <inputDir> <stateDir> resize <newP>")
+          sys.exit(2)
+        }
+        StreamingDedup.resizeStateP(spark, stateDir, newP)
       case other =>
         val trigger = other.map(s => Trigger.ProcessingTime(s.toInt * 1000L))
           .getOrElse(Trigger.AvailableNow())

@@ -292,10 +292,10 @@ object StreamingDedup {
         s"stateP mismatch: state at $stateDir was written with " +
           s"stateP=$persisted but this run uses stateP=$stateP. Probing " +
           "would silently mis-prune base partitions. Either restart with " +
-          s"stateP=$persisted, or migrate: run with the OLD value until " +
-          "the next compaction completes, then delete meta/state_p and " +
-          "restart with the new value (the fresh base is rewritten under " +
-          "the active modulus at compaction).")
+          s"stateP=$persisted, or migrate offline with " +
+          "StreamingDedup.resizeStateP (StreamJob `resize` mode): it " +
+          "rewrites every table's base under the new modulus and updates " +
+          "meta/state_p atomically w.r.t. the reader rule.")
     } else {
       if (!fs.exists(metaDir)) fs.mkdirs(metaDir)
       val out = fs.create(f, true)
@@ -325,18 +325,29 @@ object StreamingDedup {
     finally out.close()
   }
 
-  /** Fold the committed base + all batch dirs OLDER than `currentBatch` into
-    * a new base (partitioned by `partKeys` hash when given, rows sorted by
-    * `sortCols` for parquet min/max locality). Consumed dirs are NOT
-    * deleted here — see the deferred-deletion contract in the header.
-    * Returns the consumed dir paths (for the deletion ledger). */
+  /** Fold the committed base + committed batch dirs (all of them when
+    * `excludeBatch` is None, else all OLDER than it) into a new base
+    * (partitioned by `partKeys` hash when given, rows sorted by `sortCols`
+    * for parquet min/max locality). With `force`, a base with NO pending
+    * batches is still rewritten — the stateP-resize path, where the base
+    * layout itself must change modulus. Consumed dirs are NOT deleted
+    * here — see the deferred-deletion contract in the header. Returns the
+    * consumed dir paths (for the deletion ledger); the new base is never
+    * among them, even when it reuses the old base's id (force + no
+    * batches: the data is materialized into the tmp dir BEFORE the old
+    * dest is deleted, so an in-place rewrite is safe). */
   private def compactTable(spark: SparkSession, tablePath: String,
-      schema: StructType, currentBatch: Long, partKeys: Option[Seq[Column]],
-      sortCols: Seq[Column], stateP: Int): Seq[String] = {
+      schema: StructType, excludeBatch: Option[Long],
+      partKeys: Option[Seq[Column]], sortCols: Seq[Column], stateP: Int,
+      force: Boolean = false): Seq[String] = {
     val (fs, table) = fileSystem(spark, tablePath)
-    val c = committedDirs(fs, table, excludeBatch = Some(currentBatch))
-    if (c.batches.isEmpty) return Nil
-    val newId = c.batches.map(_._1).max
+    val c = committedDirs(fs, table, excludeBatch)
+    if (c.batches.isEmpty && !(force && c.base.nonEmpty)) return Nil
+    val baseId = c.base.flatMap(_.getName match {
+      case BaseRe(id) => Some(id.toLong)
+      case _ => None
+    })
+    val newId = (c.batches.map(_._1) ++ baseId).max
     val dirs = (c.base.toSeq.flatMap(basePartDirs(fs, _, None)) ++
       c.batches.map(_._2)).map(_.toString)
     val all = spark.read.schema(schema).parquet(dirs: _*)
@@ -356,6 +367,7 @@ object StreamingDedup {
     if (fs.exists(dest)) fs.delete(dest, true) // stale replay leftover
     require(fs.rename(tmp, dest), s"compaction rename failed: $tmp -> $dest")
     (c.base.toSeq ++ c.batches.map(_._2)).map(_.toString)
+      .filter(_ != dest.toString)
   }
 
   /** One compaction round across all state tables: delete what the previous
@@ -375,7 +387,7 @@ object StreamingDedup {
     // (2) fold each table
     val consumed = tables.flatMap { case (name, schema, partKeys, sortCols) =>
       compactTable(spark, s"$stateDir/$name", schema,
-        currentBatch, partKeys, sortCols, stateP)
+        excludeBatch = Some(currentBatch), partKeys, sortCols, stateP)
     }
     // (3) defer: consumed dirs + commit markers now subsumed by every
     // table's base floor (a marker may only be dropped once NO table still
@@ -595,15 +607,7 @@ object StreamingDedup {
     val nCommitted =
       committedDirs(fsIdx, idxTable, excludeBatch = self).batches.size
     if (nCommitted >= compactEvery) {
-      compactAll(spark, stateDir, Seq(
-        ("index", newBands.schema,
-          Some(Seq(col("band_id"), col("band_key"))),
-          Seq(col("band_id"), col("band_key"))),
-        ("sigs", sigs.schema, Some(Seq(col("image_id"))), Seq(col("image_id"))),
-        ("ss_anchors", newAnch.schema, Some(Seq(col("k"))), Seq(col("k"))),
-        ("ss_windows", newWins.schema, Some(Seq(col("k"))), Seq(col("k"))),
-        ("pairs", pairSchema, None, Nil),
-        ("metrics", metricsSchema, None, Nil)), batchId, stateP)
+      compactAll(spark, stateDir, tableSpecs, batchId, stateP)
       phase("compaction")
     }
     ()
@@ -664,6 +668,98 @@ object StreamingDedup {
     StructField("minhash", ArrayType(LongType))))
   private val pairSchema = StructType(Seq(
     StructField("a", StringType), StructField("b", StringType)))
+  private val bandSchema = StructType(Seq(
+    StructField("band_id", IntegerType), StructField("band_key", LongType),
+    StructField("sort_hi", LongType), StructField("sort_lo", LongType),
+    StructField("image_id", StringType),
+    StructField("sim_hi", LongType), StructField("sim_lo", LongType)))
+  private val anchorSchema = StructType(Seq(
+    StructField("a", StringType), StructField("k", LongType)))
+  private val windowSchema = StructType(Seq(
+    StructField("b", StringType), StructField("k", LongType)))
+
+  /** Every state table with its schema, bucket-partition keys (None =
+    * unpartitioned: nothing probes the table by key) and within-partition
+    * sort — the single source of truth for compaction AND resize, so the
+    * two can never fold a different table set. */
+  private def tableSpecs: Seq[(String, StructType, Option[Seq[Column]], Seq[Column])] =
+    Seq(
+      ("index", bandSchema,
+        Some(Seq(col("band_id"), col("band_key"))),
+        Seq(col("band_id"), col("band_key"))),
+      ("sigs", sigSchema, Some(Seq(col("image_id"))), Seq(col("image_id"))),
+      ("ss_anchors", anchorSchema, Some(Seq(col("k"))), Seq(col("k"))),
+      ("ss_windows", windowSchema, Some(Seq(col("k"))), Seq(col("k"))),
+      ("pairs", pairSchema, None, Nil),
+      ("metrics", metricsSchema, None, Nil))
+
+  /** OFFLINE stateP migration: rewrite every table's committed view into a
+    * fresh base under `newP` and persist the new modulus. This is the ONLY
+    * safe way to change `stateP` on existing state — the base `p=` layout
+    * is a function of the modulus, so probing a base written under one
+    * value with touched-sets computed under another silently skips
+    * partitions holding real duplicates (`checkStateP` fails fast on
+    * exactly that).
+    *
+    * PRECONDITION (caller-enforced, same single-writer rule as ingest): no
+    * ingesting query and no concurrent cluster-mode reader is running
+    * against `stateDir`. Being offline is what lets this path delete
+    * consumed dirs immediately instead of deferring a cycle.
+    *
+    * Crash-safe w.r.t. the reader rule: each table's rewrite lands via
+    * write-tmp → `_done` → rename before anything is deleted, the new base
+    * subsumes every batch dir (so lingering dirs stay invisible), and
+    * `meta/state_p` is updated LAST — a crash anywhere before that leaves
+    * the old modulus in force and every table readable (a base already
+    * rewritten under `newP` is re-rewritten on retry). */
+  def resizeStateP(spark: SparkSession, stateDir: String, newP: Int): Unit = {
+    require(newP > 0, s"newP must be positive, got $newP")
+    val (fs, root) = fileSystem(spark, stateDir)
+    val metaF = new Path(new Path(root, "meta"), "state_p")
+    require(fs.exists(metaF),
+      s"no persisted stateP at $stateDir — state uninitialized, nothing to resize")
+    val in = fs.open(metaF)
+    val oldP = try scala.io.Source.fromInputStream(in).mkString.trim.toInt
+    finally in.close()
+    if (oldP == newP) return
+    // the previous deferred-deletion cycle is due by the offline precondition
+    readLedger(fs, root).foreach { p =>
+      val path = new Path(p)
+      if (fs.exists(path)) fs.delete(path, true)
+    }
+    writeLedger(fs, root, Nil)
+    val consumed = tableSpecs.flatMap { case (name, schema, partKeys, sortCols) =>
+      compactTable(spark, s"$stateDir/$name", schema, excludeBatch = None,
+        partKeys, sortCols, newP, force = true)
+    }
+    consumed.foreach { p =>
+      val path = new Path(p)
+      if (fs.exists(path)) fs.delete(path, true)
+    }
+    // every committed batch is now folded into some table's base, so every
+    // marker at or below the min base floor is stale
+    val floors = tableSpecs.map { case (name, _, _, _) =>
+      val (fsT, t) = fileSystem(spark, s"$stateDir/$name")
+      if (!fsT.exists(t)) Long.MinValue
+      else fsT.listStatus(t).toSeq.filter(_.isDirectory).flatMap {
+        st => st.getPath.getName match {
+          case BaseRe(id) if isCommitted(fsT, st.getPath) => Some(id.toLong)
+          case _ => None
+        }
+      }.maxOption.getOrElse(Long.MinValue)
+    }
+    val safeFloor = floors.min
+    val commits = new Path(root, "commits")
+    if (fs.exists(commits))
+      fs.listStatus(commits).toSeq.map(_.getPath).filter(_.getName match {
+        case BatchRe(id) => id.toLong <= safeFloor
+        case _ => false
+      }).foreach(p => fs.delete(p, false))
+    val out = fs.create(metaF, true)
+    try out.write(s"$newP\n".getBytes("UTF-8")) finally out.close()
+    println(s"StreamingDedup: resized $stateDir stateP $oldP -> $newP " +
+      s"(${consumed.size} consumed dirs removed)")
+  }
 
   /** Periodic clustering over the accumulated pair log: connected
     * components across every id seen so far. The pair log may hold

@@ -285,6 +285,69 @@ class StreamingDedupSpec extends AnyFunSuite {
     assert(e.getMessage.contains("stateP mismatch"))
   }
 
+  test("resizeStateP migrates the base to a new modulus; probes stay correct across the boundary") {
+    val cfg = DedupConfig()
+    val root = Files.createTempDirectory("graft-stream-resize").toString
+    val state = s"$root/state"
+    val control = s"$root/control"
+    val (images, truth) = SyntheticCorpus.generate(spark,
+      nGroups = 8, variantsPerGroup = 3, nDistractors = 8)
+    val rows = images.localCheckpoint()
+    val ids = rows.select("image_id").collect().map(_.getString(0)).sorted
+    val chunks = ids.grouped(8).toSeq
+    def ingest(dir: String, chunk: Seq[String], id: Long, p: Int): Unit =
+      StreamingDedup.processBatch(spark,
+        rows.filter(col("image_id").isin(chunk: _*)), dir, cfg,
+        batchId = id, stateP = p, compactEvery = 2)
+    // state: first 3 chunks under stateP=8 (compaction fires, so a p=-
+    // partitioned base exists); control: ALL chunks under stateP=8
+    chunks.take(3).zipWithIndex.foreach { case (c, i) => ingest(state, c, i.toLong, 8) }
+    chunks.zipWithIndex.foreach { case (c, i) => ingest(control, c, i.toLong, 8) }
+    val before = StreamingDedup.clustersFromState(spark, state)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+
+    StreamingDedup.resizeStateP(spark, state, 32)
+
+    // content is untouched by the migration
+    val after = StreamingDedup.clustersFromState(spark, state)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(after === before)
+    // the old modulus now fails fast (checkStateP reads the migrated value)
+    val e = intercept[IllegalArgumentException] {
+      ingest(state, chunks(3), 3L, 8)
+    }
+    assert(e.getMessage.contains("stateP mismatch"))
+    // layout: every batch dir is folded into a base whose p= values are
+    // valid under the NEW modulus (and some exceed the old one — the
+    // rewrite really re-bucketed, not just renamed)
+    val idxDirs = new java.io.File(s"$state/index").listFiles
+      .filter(f => f.isDirectory && !f.getName.startsWith("."))
+    assert(idxDirs.forall(_.getName.startsWith("base_")),
+      s"unfolded dirs after resize: ${idxDirs.map(_.getName).mkString(",")}")
+    val pVals = idxDirs.flatMap(_.listFiles).map(_.getName)
+      .filter(_.startsWith("p=")).map(_.stripPrefix("p=").toInt)
+    assert(pVals.forall(p => p >= 0 && p < 32))
+    assert(pVals.exists(_ >= 8), "no partition above the old modulus")
+    // probes against the migrated base: ingest every REMAINING chunk under
+    // the new modulus — cross-boundary duplicates (variant in chunks 0-2,
+    // variant in a later chunk) are only found if pruning against the
+    // rewritten base is sound — and the final pair set must equal the
+    // constant-stateP control (which ingested all chunks)
+    chunks.drop(3).zipWithIndex.foreach { case (c, i) =>
+      ingest(state, c, (3 + i).toLong, 32)
+    }
+    val resizedPairs = pairSet(StreamingDedup.clustersFromState(spark, state))
+    val controlPairs = pairSet(StreamingDedup.clustersFromState(spark, control))
+    assert(resizedPairs === controlPairs)
+    val tl = truth.select(col("group_id"), col("image_id").as("a"))
+    val tr = truth.select(col("group_id"), col("image_id").as("b"))
+    val truthPairs = tl.join(tr, "group_id").filter(col("a") < col("b"))
+      .select("a", "b").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(truthPairs.subsetOf(resizedPairs),
+      s"missed ${truthPairs.diff(resizedPairs).size} truth pairs after resize")
+  }
+
   test("metrics are committed state: batch-atomic with the data tables, bounded by compaction") {
     val cfg = DedupConfig()
     val root = Files.createTempDirectory("graft-stream-metrics").toString
