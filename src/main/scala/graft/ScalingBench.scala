@@ -181,7 +181,16 @@ object ScalingBench {
          |  ${recall._1.toDouble / recall._2}%.4f** (gate: >= 0.99)
          |""".stripMargin
     Files.createDirectories(Paths.get("BENCH"))
-    Files.writeString(Paths.get("BENCH/BASELINE.md"), md)
+    // regenerate only the measured header; hand-written per-round notes
+    // (everything from the first "## " section on) survive the rerun
+    val out = Paths.get("BENCH/BASELINE.md")
+    val notes =
+      if (Files.exists(out)) {
+        val lines = Files.readString(out).linesIterator.toSeq
+        val i = lines.indexWhere(_.startsWith("## "))
+        if (i >= 0) lines.drop(i).mkString("", "\n", "\n") else ""
+      } else ""
+    Files.writeString(out, if (notes.isEmpty) md else s"$md\n$notes")
     println(md)
   }
 }

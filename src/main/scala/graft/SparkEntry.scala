@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
-import graft.ops.{DedupOps, EmbeddingOps, TextOps}
+import graft.ops.{DedupOps, EmbeddingOps, TextOps, TieredDedup}
 import graft.pipeline.{Dedup, DedupConfig}
 import graft.images.SyntheticCorpus
 
@@ -137,6 +137,16 @@ object SparkEntry {
         DedupOps.simhashBanded(rd(s, dir, "documents")))
       DedupOps.simhashPairsFromBands(banded)
     }),
+    "q35_tiered_dedup" -> ((s, dir) => {
+      // the composed exact -> MinHash-near -> embedding-semantic cascade
+      // (ops/TieredDedup): each tier dedups only the previous tier's
+      // survivors; DuckDB re-derives the ENTIRE cascade relationally —
+      // exact groupBy, brute-force shingle Jaccard, transitive closure,
+      // exact cosine among tier-2 survivors, closure again — so the tier
+      // attribution and canonical assignment are value-checked end-to-end
+      TieredDedup.run(rd(s, dir, "documents"), rd(s, dir, "embeddings"),
+        minJaccard = 0.5, minCos = 0.4).verdicts
+    }),
     // ---- similarity search over embeddings ----
     "q19_knn_brute" -> ((s, dir) => EmbeddingOps.knnBrute(rd(s, dir, "embeddings"))),
     "q20_cosine_pairs" -> ((s, dir) =>
@@ -221,8 +231,11 @@ object SparkEntry {
       val b = withNorm.select(col("label"), col("vec_id").as("b"),
         col("embedding").as("b_emb"), col("nrm").as("b_nrm"))
       a.join(b, "label").filter(col("a") < col("b"))
+        // + 0.0 canonicalizes IEEE negative zero: values in (-0.05, 0]
+        // round to -0.0, and a hash aggregate may surface either zero as
+        // the group representative (observed as a DuckDB-side flake)
         .select((round(EmbeddingOps.dotUdf(col("a_emb"), col("b_emb")) /
-          (col("a_nrm") * col("b_nrm")), 1)).as("cos_bucket"))
+          (col("a_nrm") * col("b_nrm")), 1) + lit(0.0)).as("cos_bucket"))
         .groupBy("cos_bucket").agg(count(lit(1)).as("n"))
         .orderBy("cos_bucket")
     }),
@@ -375,12 +388,17 @@ object SparkEntry {
       deleteRecursively(new java.io.File(stateDir))
       val (images, _) = OracleDump.sharedCorpus(s, 40, 3, 30)
       // deterministic hash split; dup groups straddle the resize boundary
+      // compactEvery high enough that no mid-ingest compaction fires: the
+      // resize itself folds the batch dirs into a p=-partitioned base (the
+      // rewrite-an-EXISTING-base leg is what StreamingDedupSpec's resize
+      // test pins), and each avoided compaction is six table rewrites of
+      // pure bench overhead at this toy scale
       val part = pmod(crc32(col("image_id")), lit(4))
       def ingest(q: org.apache.spark.sql.Column, id: Long, p: Int): Unit =
         graft.streaming.StreamingDedup.processBatch(s, images.filter(q),
-          stateDir, cfg, batchId = id, stateP = p, compactEvery = 1)
+          stateDir, cfg, batchId = id, stateP = p, compactEvery = 4)
       ingest(part === 0, 0L, 8)
-      ingest(part === 1, 1L, 8) // compaction fires -> p=-partitioned base
+      ingest(part === 1, 1L, 8)
       graft.streaming.StreamingDedup.resizeStateP(s, stateDir, 32)
       ingest(part >= 2, 2L, 32)
       OracleDump.dump("q34_pairs",
@@ -540,6 +558,55 @@ object SparkEntry {
     "q16_exact_dedup" ->
       """SELECT min(doc_id) AS keeper_id, count(*) AS dup_count
         | FROM documents GROUP BY text ORDER BY keeper_id""".stripMargin,
+    "q35_tiered_dedup" ->
+      """WITH RECURSIVE
+        |canon1 AS (SELECT text, min(doc_id) AS c FROM documents GROUP BY text),
+        |l1 AS (SELECT d.doc_id, canon1.c FROM documents d JOIN canon1 USING (text)),
+        |surv1 AS (SELECT doc_id FROM l1 WHERE doc_id = c),
+        |sh AS (SELECT doc_id, list_distinct(
+        |   [t[i] || ' ' || t[i+1] || ' ' || t[i+2] FOR i IN range(1, len(t)-1)]) AS sh
+        |  FROM (SELECT d.doc_id,
+        |    list_filter(regexp_split_to_array(d.text,'\s+'), x -> x <> '') AS t
+        |    FROM documents d JOIN surv1 USING (doc_id))),
+        |p2 AS (SELECT a.doc_id AS a, b.doc_id AS b
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+        |   (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 4) >= 0.5),
+        |sym2 AS (SELECT a, b FROM p2 UNION SELECT b, a FROM p2),
+        |reach2(src, dst) AS (
+        |  SELECT a, b FROM sym2
+        |  UNION
+        |  SELECT r.src, s.b FROM reach2 r JOIN sym2 s ON r.dst = s.a),
+        |l2 AS (SELECT v.doc_id,
+        |    least(v.doc_id, coalesce(min(r.dst), v.doc_id)) AS c
+        |  FROM surv1 v LEFT JOIN reach2 r ON r.src = v.doc_id
+        |  GROUP BY v.doc_id),
+        |surv2 AS (SELECT doc_id FROM l2 WHERE doc_id = c),
+        |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings JOIN surv2 ON vec_id = doc_id),
+        |p3 AS (SELECT a.vec_id AS a, b.vec_id AS b
+        |  FROM e a JOIN e b ON a.vec_id < b.vec_id
+        |  WHERE list_dot_product(a.v, b.v) /
+        |   (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
+        |   >= 0.4),
+        |sym3 AS (SELECT a, b FROM p3 UNION SELECT b, a FROM p3),
+        |reach3(src, dst) AS (
+        |  SELECT a, b FROM sym3
+        |  UNION
+        |  SELECT r.src, s.b FROM reach3 r JOIN sym3 s ON r.dst = s.a),
+        |l3 AS (SELECT v.doc_id,
+        |    least(v.doc_id, coalesce(min(r.dst), v.doc_id)) AS c
+        |  FROM surv2 v LEFT JOIN reach3 r ON r.src = v.doc_id
+        |  GROUP BY v.doc_id)
+        |SELECT doc_id, tier, canonical_id FROM (
+        |  SELECT doc_id, 1 AS tier, c AS canonical_id FROM l1 WHERE doc_id <> c
+        |  UNION ALL
+        |  SELECT doc_id, 2, c FROM l2 WHERE doc_id <> c
+        |  UNION ALL
+        |  SELECT doc_id, 3, c FROM l3 WHERE doc_id <> c
+        |  UNION ALL
+        |  SELECT doc_id, 0, doc_id FROM l3 WHERE doc_id = c)
+        |ORDER BY doc_id""".stripMargin,
     "q17_minhash_lsh_dedup" ->
       """WITH s AS (SELECT doc_id, list_distinct(
         |   [t[i] || ' ' || t[i+1] || ' ' || t[i+2] FOR i IN range(1, len(t)-1)]) AS sh
@@ -660,6 +727,7 @@ object SparkEntry {
         |e AS (SELECT vec_id, label, v FROM e0 WHERE rn <= 100)
         |SELECT round(list_dot_product(a.v, b.v) /
         |   (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 1)
+        |   + 0.0
         |   AS cos_bucket, count(*) AS n
         |FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
         |GROUP BY 1 ORDER BY 1""".stripMargin,

@@ -1,0 +1,109 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.pipeline.ConnectedComponents
+
+/** Tiered deduplication — the composed cheap-to-expensive dedup cascade a
+  * web-scale training corpus actually runs (the single-tier operators it
+  * chains are q16/q17/q20's, each oracle-checked on its own):
+  *
+  *   tier 1  exact        content-hash groupBy          ~free, kills byte dups
+  *   tier 2  near         MinHash LSH + exact Jaccard   lexical near-dups
+  *   tier 3  semantic     embedding cosine              paraphrase dups
+  *
+  * Each tier sees only the SURVIVORS of the previous one, so the expensive
+  * tiers run on a monotonically shrinking frontier — at 100 TB the exact
+  * tier typically removes the bulk of the volume for the cost of one
+  * hash shuffle, the banded MinHash join touches only colliding shingle
+  * bands, and the embedding tier (the only one that needs the vectors at
+  * all) runs on what remains. Within a tier, duplicates collapse by
+  * transitive closure (ConnectedComponents — driver union-find at small
+  * edge volume, pointer doubling at scale) and the minimum doc_id in each
+  * component is the canonical survivor.
+  *
+  * Verdict semantics: every document gets exactly one row
+  * `(doc_id, tier, canonical_id)` where `tier` is the FIRST tier that
+  * dropped it (0 = survived all tiers, canonical_id = itself) and
+  * `canonical_id` is the minimum id of its duplicate component AT that
+  * tier. A tier-2 canonical may itself fall at tier 3; the per-tier
+  * attribution is kept (rather than chasing the chain) so each drop is
+  * auditable against the tier that made it.
+  *
+  * The reference's pipeline is the single-modality analog: exact dedup by
+  * FileToFunctionID, near-dup by SimHash distance ≤ threshold
+  * (`functionsearchapp.cpp` match flow); the cascade shape here is the
+  * multi-tier generalization a document corpus needs.
+  */
+object TieredDedup {
+
+  final case class Result(
+      verdicts: DataFrame, // (doc_id, tier, canonical_id) — one row per doc
+      nearPairs: DataFrame, // tier-2 evidence: (doc_a, doc_b, jacc)
+      semPairs: DataFrame) // tier-3 evidence: (vec_a, vec_b, cos)
+
+  /** `docs`: (doc_id: long, text: string, ...); `emb`: (vec_id: long,
+    * embedding: array<float>, ...) with vec_id keyed to doc_id.
+    * `approxSem` switches the semantic tier's pair source from the exact
+    * O(n²) cosine join (oracle-checkable baseline) to the random-hyperplane
+    * LSH path — the 100×-scale variant (same contract as q22 vs q20). */
+  def run(docs: DataFrame, emb: DataFrame, minJaccard: Double = 0.5,
+      minCos: Double = 0.4, approxSem: Boolean = false): Result = {
+    val spark = docs.sparkSession
+
+    // ---- tier 1: exact (one shuffle on the text hash, partial agg) ----
+    val canon1 = docs.groupBy(col("text"))
+      .agg(min("doc_id").as("canonical_id"))
+    val labeled1 = docs.select("doc_id", "text")
+      .join(canon1, "text")
+      .select(col("doc_id"), col("canonical_id")).localCheckpoint()
+    val t1 = labeled1.filter(col("doc_id") =!= col("canonical_id"))
+      .select(col("doc_id"), lit(1).as("tier"), col("canonical_id"))
+    val surv1 = docs.join(
+      labeled1.filter(col("doc_id") === col("canonical_id"))
+        .select("doc_id"), Seq("doc_id"), "left_semi")
+
+    // ---- tier 2: lexical near-dup (banded MinHash; exact-Jaccard verify
+    // on candidates only) over tier-1 survivors ----
+    val nearPairs = DedupOps.minhashLshDedup(surv1, minJaccard)
+      .localCheckpoint()
+    val lab2 = components(surv1.select("doc_id"),
+      nearPairs.select(col("doc_a").as("a"), col("doc_b").as("b")))
+    val t2 = lab2.filter(col("doc_id") =!= col("canonical_id"))
+      .select(col("doc_id"), lit(2).as("tier"), col("canonical_id"))
+    val surv2 = lab2.filter(col("doc_id") === col("canonical_id"))
+      .select("doc_id")
+
+    // ---- tier 3: semantic near-dup over tier-2 survivors; only this tier
+    // ever touches the embedding column ----
+    val embSub = emb.join(surv2.select(col("doc_id").as("vec_id")),
+      Seq("vec_id"), "left_semi")
+    val semPairs = (if (approxSem)
+      EmbeddingOps.lshCosinePairs(embSub, minCos)
+    else EmbeddingOps.cosinePairs(embSub, minCos)).localCheckpoint()
+    val lab3 = components(surv2,
+      semPairs.select(col("vec_a").as("a"), col("vec_b").as("b")))
+    val t3 = lab3.filter(col("doc_id") =!= col("canonical_id"))
+      .select(col("doc_id"), lit(3).as("tier"), col("canonical_id"))
+    val kept = lab3.filter(col("doc_id") === col("canonical_id"))
+      .select(col("doc_id"), lit(0).as("tier"),
+        col("doc_id").as("canonical_id"))
+
+    Result(t1.union(t2).union(t3).union(kept).orderBy("doc_id"),
+      nearPairs, semPairs)
+  }
+
+  /** Transitive closure with min-id canonicals over long-keyed vertices.
+    * ConnectedComponents is string-keyed (image ids) and its min-label
+    * contract is lexicographic, so longs are zero-padded to a fixed width
+    * — order-preserving for any non-negative id — and unpadded after. */
+  private def components(vertices: DataFrame, edges: DataFrame): DataFrame = {
+    val spark = vertices.sparkSession
+    def pad(c: org.apache.spark.sql.Column) = format_string("%019d", c)
+    val labels = ConnectedComponents.run(spark,
+      edges.select(pad(col("a")).as("a"), pad(col("b")).as("b")),
+      vertices.select(pad(col("doc_id")).as("id")))
+    labels.select(col("id").cast("long").as("doc_id"),
+      col("cluster_id").cast("long").as("canonical_id"))
+  }
+}

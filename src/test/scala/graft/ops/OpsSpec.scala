@@ -95,6 +95,66 @@ class OpsSpec extends AnyFunSuite {
     assert(again === probed)
   }
 
+  test("tiered dedup: each doc dropped by the FIRST tier that catches it") {
+    import spark.implicits._
+    // ids 0,1,2: byte-identical -> tier 1 keeps 0; id 3: one word changed
+    // (shingle jaccard 0.75) -> tier 2, canonical 0; ids 4,5: lexically
+    // unrelated but near-identical embeddings -> tier 3 drops 5; id 6:
+    // unique text, orthogonal embedding -> kept
+    val t0 = "the quick brown fox jumps over the lazy dog today"
+    val texts = Seq(
+      0L -> t0, 1L -> t0, 2L -> t0,
+      3L -> "the quick brown fox jumps over the lazy cat today",
+      4L -> "colorless green ideas sleep furiously in the garden tonight",
+      5L -> "stock markets rallied sharply after the surprise rate cut",
+      6L -> "entirely different content about cooking pasta with garlic")
+    val docs = texts.toDF("doc_id", "text")
+    val vecs = Seq(
+      0L -> Array(1f, 0f, 0f, 0f), 1L -> Array(1f, 0f, 0f, 0f),
+      2L -> Array(1f, 0f, 0f, 0f), 3L -> Array(1f, 0f, 0f, 0f),
+      4L -> Array(0f, 1f, 0f, 0.01f), 5L -> Array(0f, 1f, 0f, 0f),
+      6L -> Array(0f, 0f, 1f, 0f))
+    val embT = vecs.toDF("vec_id", "embedding")
+    val res = TieredDedup.run(docs, embT)
+    val v = res.verdicts.collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getLong(2)))).toMap
+    assert(v === Map(
+      0L -> ((0, 0L)), 1L -> ((1, 0L)), 2L -> ((1, 0L)), 3L -> ((2, 0L)),
+      4L -> ((0, 4L)), 5L -> ((3, 4L)), 6L -> ((0, 6L))))
+    // frontier monotonicity: tier-3 evidence never mentions a doc already
+    // dropped at tier 1/2 (the expensive tier only sees survivors)
+    val dropped12 = v.filter { case (_, (t, _)) => t == 1 || t == 2 }.keySet
+    val semIds = res.semPairs.select("vec_a").union(
+      res.semPairs.select("vec_b")).collect().map(_.getLong(0)).toSet
+    assert(semIds.intersect(dropped12).isEmpty)
+  }
+
+  test("tiered dedup on the sf tables: partition of all docs, tiers consistent with single-tier ops") {
+    val res = TieredDedup.run(docs, emb)
+    val v = res.verdicts.cache()
+    assert(v.count() === docs.count())
+    assert(v.select("doc_id").distinct().count() === docs.count())
+    // canonical of every dropped doc is a kept doc of a LOWER-or-equal tier
+    // world: tier-1/2 canonicals survive to at least tier 2; tier-3
+    // canonicals are kept
+    val kept = v.filter(col("tier") === 0).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    val t3canon = v.filter(col("tier") === 3).select("canonical_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(t3canon.subsetOf(kept))
+    // tier-2 pair evidence must agree with the standalone q17 operator on
+    // the same frontier (no exact dups in the sf fixture -> same input)
+    assert(docs.count() === docs.select("text").distinct().count())
+    val standalone = DedupOps.minhashLshDedup(docs, 0.5)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val tiered = res.nearPairs.select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(tiered === standalone)
+    v.unpersist()
+    ()
+  }
+
   test("fingerprint is order-sensitive") {
     import spark.implicits._
     val t = Seq((1L, "ab"), (2L, "ba")).toDF("doc_id", "text")
