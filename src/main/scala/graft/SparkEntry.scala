@@ -407,6 +407,32 @@ object SparkEntry {
       graft.streaming.StreamingDedup.clustersFromState(s, stateDir)
         .orderBy("image_id")
     }),
+    "q36_img_tiered" -> ((s, _) => {
+      // the tiered cascade on the north-rule image+caption table: tier 1
+      // exact sha-256(bytes), tier 2 SimHash/MinHash near-dup, tier 3
+      // caption substring containment — each over the previous tier's
+      // survivors, per-tier drop attribution. DuckDB re-derives tier 1
+      // from the dumped content hashes, tier 2's closure from the dumped
+      // verified pairs (the pairs themselves are value-checked by q24),
+      // and the ENTIRE tier-3 substring operator independently (strpos
+      // over the dumped normalized captions) — plus both closures.
+      val cfg = DedupConfig()
+      val (images, _) = OracleDump.sharedCorpus(s, 40, 3, 30)
+      // plant byte-identical copies so the exact tier has real work; the
+      // suffixed id sorts after its original (prefix property), keeping
+      // the original as the expected canonical
+      val copies = images.filter(pmod(crc32(col("image_id")), lit(5)) === 0)
+        .withColumn("image_id", concat(col("image_id"), lit("~c")))
+      val all = images.union(copies).localCheckpoint()
+      val normUdf = udf((c: String) =>
+        graft.featurize.ImageFeaturizer.normalizeCaption(c))
+      OracleDump.dump("q36_input", all.select(col("image_id"),
+        sha2(col("bytes"), 256).as("bytes_sha"),
+        normUdf(col("caption")).as("caption_norm")))
+      val res = graft.pipeline.TieredImageDedup.run(all, cfg)
+      OracleDump.dump("q36_near", res.nearPairs)
+      res.verdicts
+    }),
     "q30_roc" -> ((s, _) => {
       // evaluate_ROC_curve.py port over the image corpus: grouped truth,
       // exact-search TPR/FPR/IRR per similarity cutoff (the approximate-
@@ -684,6 +710,47 @@ object SparkEntry {
         |FROM read_parquet('${OracleDump.glob("q23_ids")}') v
         |LEFT JOIN reach r ON r.src = v.image_id
         |GROUP BY v.image_id ORDER BY v.image_id""".stripMargin,
+    "q36_img_tiered" ->
+      s"""WITH RECURSIVE
+        |inp AS (SELECT * FROM read_parquet('${OracleDump.glob("q36_input")}')),
+        |canon1 AS (SELECT bytes_sha, min(image_id) AS c FROM inp GROUP BY bytes_sha),
+        |l1 AS (SELECT i.image_id, canon1.c FROM inp i JOIN canon1 USING (bytes_sha)),
+        |surv1 AS (SELECT image_id FROM l1 WHERE image_id = c),
+        |p2 AS (SELECT a, b FROM read_parquet('${OracleDump.glob("q36_near")}')),
+        |sym2 AS (SELECT a, b FROM p2 UNION SELECT b, a FROM p2),
+        |reach2(src, dst) AS (
+        |  SELECT a, b FROM sym2
+        |  UNION
+        |  SELECT r.src, s.b FROM reach2 r JOIN sym2 s ON r.dst = s.a),
+        |l2 AS (SELECT v.image_id,
+        |    least(v.image_id, coalesce(min(r.dst), v.image_id)) AS c
+        |  FROM surv1 v LEFT JOIN reach2 r ON r.src = v.image_id
+        |  GROUP BY v.image_id),
+        |surv2 AS (SELECT image_id FROM l2 WHERE image_id = c),
+        |cap AS (SELECT i.image_id, i.caption_norm
+        |  FROM inp i JOIN surv2 USING (image_id)),
+        |p3 AS (SELECT a.image_id AS a, b.image_id AS b
+        |  FROM cap a JOIN cap b ON a.image_id <> b.image_id
+        |  WHERE length(a.caption_norm) >= 24
+        |    AND strpos(b.caption_norm, a.caption_norm) > 0),
+        |sym3 AS (SELECT a, b FROM p3 UNION SELECT b, a FROM p3),
+        |reach3(src, dst) AS (
+        |  SELECT a, b FROM sym3
+        |  UNION
+        |  SELECT r.src, s.b FROM reach3 r JOIN sym3 s ON r.dst = s.a),
+        |l3 AS (SELECT v.image_id,
+        |    least(v.image_id, coalesce(min(r.dst), v.image_id)) AS c
+        |  FROM surv2 v LEFT JOIN reach3 r ON r.src = v.image_id
+        |  GROUP BY v.image_id)
+        |SELECT image_id, tier, canonical_id FROM (
+        |  SELECT image_id, 1 AS tier, c AS canonical_id FROM l1 WHERE image_id <> c
+        |  UNION ALL
+        |  SELECT image_id, 2, c FROM l2 WHERE image_id <> c
+        |  UNION ALL
+        |  SELECT image_id, 3, c FROM l3 WHERE image_id <> c
+        |  UNION ALL
+        |  SELECT image_id, 0, image_id FROM l3 WHERE image_id = c)
+        |ORDER BY image_id""".stripMargin,
     "q24_img_pairs" ->
       s"""WITH b AS (SELECT * FROM read_parquet('${OracleDump.glob("q24_bands")}')),
         |r AS (SELECT *, row_number() OVER (

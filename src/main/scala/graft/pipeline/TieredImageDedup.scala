@@ -1,0 +1,105 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Tiered deduplication over the north-rule image+caption corpus — the
+  * image-payload counterpart of `ops.TieredDedup`'s document cascade:
+  *
+  *   tier 1  exact     sha-256(bytes) groupBy             byte-identical rows
+  *   tier 2  near      SimHash/MinHash LSH + verify       perceptual near-dups
+  *   tier 3  caption   anchored windowed-hash substring   caption-containment
+  *
+  * Each tier sees only the SURVIVORS of the previous one. The monolithic
+  * pipeline (`Dedup.run`) unions the near + substring edges into ONE
+  * transitive closure — correct when all you need is the surviving set —
+  * but a production corpus audit needs attribution: WHICH mechanism dropped
+  * each row, and against which canonical. The cascade keeps the tiers
+  * separate and emits one verdict row per image:
+  * `(image_id, tier, canonical_id)` where `tier` is the FIRST tier that
+  * dropped the row (0 = survived all three, canonical_id = itself) and
+  * `canonical_id` is the minimum image_id of its duplicate component AT
+  * that tier.
+  *
+  * Scale shape (the reason the cascade order is fixed): the exact tier is
+  * one hash shuffle with partial aggregation and at web scale removes the
+  * bulk crawl-duplicate volume before anything decodes a pixel; the LSH
+  * tier decodes + shuffles band keys only for exact-survivors; the
+  * substring tier's window-hash explode (the widest per-row expansion)
+  * runs last, on the smallest frontier. sha-256 (not a 64-bit hash) keys
+  * the exact tier: at 10^12 rows a 64-bit key expects thousands of
+  * birthday collisions, each silently merging two unrelated images.
+  *
+  * Caveat vs `Dedup.run`: closing the tiers separately can keep one extra
+  * representative alive when a near-component and a substring-component
+  * overlap only through a dropped row (the union closure would merge
+  * them). That is the price of attribution and is the documented contract;
+  * the monolithic pipeline remains the recall-gate path.
+  */
+object TieredImageDedup {
+
+  final case class Result(
+      verdicts: DataFrame, // (image_id, tier, canonical_id) — one row per image
+      nearPairs: DataFrame, // tier-2 evidence: (a, b) verified near-dup pairs
+      subPairs: DataFrame) // tier-3 evidence: (a, b) caption-containment pairs
+
+  /** `images`: the north-rule table (image_id, bytes, w, h, fmt, caption,
+    * phash). Tier-2/3 parameters come from `cfg` (same knobs as the
+    * monolithic pipeline, so a verdict here is comparable to `Dedup.run`
+    * over the same config). */
+  def run(images: DataFrame, cfg: DedupConfig = DedupConfig()): Result = {
+    val spark = images.sparkSession
+
+    // ---- tier 1: exact bytes (one shuffle on the content hash) ----
+    val hashed = images.select(col("image_id"),
+      sha2(col("bytes"), 256).as("bytes_sha"))
+    val canon1 = hashed.groupBy("bytes_sha")
+      .agg(min("image_id").as("canonical_id"))
+    val labeled1 = hashed.join(canon1, "bytes_sha")
+      .select("image_id", "canonical_id").localCheckpoint()
+    val t1 = labeled1.filter(col("image_id") =!= col("canonical_id"))
+      .select(col("image_id"), lit(1).as("tier"), col("canonical_id"))
+    val surv1 = images.join(
+      labeled1.filter(col("image_id") === col("canonical_id"))
+        .select("image_id"), Seq("image_id"), "left_semi")
+
+    // ---- tier 2: perceptual near-dup (the monolithic pipeline's stages
+    // 1-4, minus the substring union) over tier-1 survivors ----
+    val sigs = Dedup.signatures(surv1, cfg).localCheckpoint()
+    val cands = Dedup.candidatesMaterialized(Dedup.bands(sigs, cfg), cfg)
+    val nearPairs = Dedup.verified(cands, sigs, cfg).distinct()
+      .localCheckpoint()
+    val lab2 = components(spark, sigs.select("image_id"), nearPairs)
+    val t2 = lab2.filter(col("image_id") =!= col("canonical_id"))
+      .select(col("image_id"), lit(2).as("tier"), col("canonical_id"))
+    val surv2 = lab2.filter(col("image_id") === col("canonical_id"))
+      .select("image_id")
+
+    // ---- tier 3: exact caption containment over tier-2 survivors; the
+    // normalized captions ride along from the tier-2 signature table so
+    // the raw `bytes` column is never read again ----
+    val capRows = sigs.join(surv2, Seq("image_id"), "left_semi")
+      .select(col("image_id").as("id"), col("caption_norm").as("text"))
+    val subPairs = SubstringDup.containedPairs(spark, capRows,
+      cfg.substringWindow).localCheckpoint()
+    val lab3 = components(spark, surv2, subPairs)
+    val t3 = lab3.filter(col("image_id") =!= col("canonical_id"))
+      .select(col("image_id"), lit(3).as("tier"), col("canonical_id"))
+    val kept = lab3.filter(col("image_id") === col("canonical_id"))
+      .select(col("image_id"), lit(0).as("tier"),
+        col("image_id").as("canonical_id"))
+
+    Result(t1.union(t2).union(t3).union(kept).orderBy("image_id"),
+      nearPairs, subPairs)
+  }
+
+  /** Min-id transitive closure over string image ids (ConnectedComponents'
+    * native key type; its min-label contract is lexicographic, which IS
+    * the image-id order). */
+  private def components(spark: org.apache.spark.sql.SparkSession,
+      vertices: DataFrame, edges: DataFrame): DataFrame =
+    ConnectedComponents.run(spark,
+      edges.toDF("a", "b"),
+      vertices.toDF("id"))
+      .select(col("id").as("image_id"), col("cluster_id").as("canonical_id"))
+}

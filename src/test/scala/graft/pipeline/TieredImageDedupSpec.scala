@@ -1,0 +1,70 @@
+package graft.pipeline
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkTestBase
+import graft.images.SyntheticCorpus
+
+class TieredImageDedupSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+
+  test("tiered image cascade: first-tier-wins attribution, verdicts partition the corpus") {
+    val cfg = DedupConfig()
+    val (images, _) = SyntheticCorpus.generate(spark, nGroups = 20,
+      variantsPerGroup = 3, nDistractors = 15)
+    // plant byte-identical copies of a deterministic subset: suffixed ids
+    // sort AFTER their originals (prefix property), so the original is the
+    // expected tier-1 canonical
+    val copies = images.filter(pmod(crc32(col("image_id")), lit(5)) === 0)
+      .withColumn("image_id", concat(col("image_id"), lit("~c")))
+    val all = images.union(copies).cache()
+    val res = TieredImageDedup.run(all, cfg)
+    val v = res.verdicts.collect()
+      .map(r => r.getString(0) -> ((r.getInt(1), r.getString(2)))).toMap
+
+    // exactly one verdict per image
+    assert(v.size.toLong === all.count())
+    // every planted copy is dropped at tier 1; its canonical is at most its
+    // original (the corpus itself contains byte-identical rows — caption-
+    // paraphrase variants reuse the image bytes — so the byte-group minimum
+    // can be an even smaller sibling, never the copy itself)
+    val copyIds = copies.select("image_id").collect().map(_.getString(0))
+    assert(copyIds.nonEmpty)
+    copyIds.foreach { id =>
+      val (tier, canon) = v(id)
+      assert(tier === 1, s"verdict for $id: ${v(id)}")
+      assert(canon <= id.stripSuffix("~c"), s"verdict for $id: ${v(id)}")
+    }
+    // tier-2 and tier-3 evidence never mentions an id a cheaper tier dropped
+    // (the expensive tiers only see survivors)
+    val d1 = v.filter { case (_, (t, _)) => t == 1 }.keySet
+    val nearIds = res.nearPairs.select("a").union(res.nearPairs.select("b"))
+      .collect().map(_.getString(0)).toSet
+    assert(nearIds.intersect(d1).isEmpty)
+    val d12 = d1 ++ v.filter { case (_, (t, _)) => t == 2 }.keySet
+    val subIds = res.subPairs.select("a").union(res.subPairs.select("b"))
+      .collect().map(_.getString(0)).toSet
+    assert(subIds.intersect(d12).isEmpty)
+    // the corpus plants substring-caption rows (~1/8 of groups) — with 20
+    // groups the tier-3 mechanism must actually fire
+    assert(v.values.exists(_._1 == 3), "no tier-3 drop on a corpus that plants substring rows")
+
+    // consistency with the monolithic pipeline: every tiered drop links two
+    // images the union-closure pipeline also co-clusters (each tier's edge
+    // set is a subset of the monolithic edge set, so closure containment
+    // must hold pairwise)
+    val mono = Dedup.run(all, cfg).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    v.foreach { case (id, (t, c)) =>
+      if (t > 0) assert(mono(id) === mono(c),
+        s"tier-$t drop $id -> $c straddles monolithic clusters")
+    }
+    // and the tiered cascade never merges MORE than the monolithic closure:
+    // survivors >= monolithic cluster count (separate closures may keep an
+    // extra representative, never fewer)
+    val keptN = v.values.count(_._1 == 0)
+    assert(keptN >= mono.values.toSet.size)
+    all.unpersist()
+    ()
+  }
+}
