@@ -45,9 +45,10 @@ object SoakJob {
     val wallTotal = (System.nanoTime() - t0) / 1e9
     val m = StreamingDedup.metricsFromState(spark, stateDir)
       .orderBy("batch_id").collect()
-    println("batch_id new_rows probed cand pairs files_read files_total touched_frac wall_ms")
+    println("batch_id new_rows exact_drop probed cand pairs files_read files_total touched_frac wall_ms")
     m.foreach { r =>
       println(f"${r.getAs[Long]("batch_id")}%8d ${r.getAs[Long]("new_rows")}%8d " +
+        f"${r.getAs[Long]("exact_dropped")}%10d " +
         f"${r.getAs[Long]("index_rows_probed")}%6d ${r.getAs[Long]("candidate_pairs")}%5d " +
         f"${r.getAs[Long]("pairs_appended")}%5d ${r.getAs[Long]("state_files_read")}%10d " +
         f"${r.getAs[Long]("state_files_total")}%11d ${r.getAs[Double]("touched_frac_idx")}%12.2f " +

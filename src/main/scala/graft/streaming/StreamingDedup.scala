@@ -15,6 +15,14 @@ import graft.pipeline.{ConnectedComponents, Dedup, DedupConfig, SubstringDup}
   * so far, and appended to it — so duplicate decisions are available
   * continuously instead of per full batch rerun.
   *
+  * An exact front tier runs before featurization (the streaming form of
+  * `TieredImageDedup`'s tier 1): incoming rows are content-hashed
+  * (sha-256) and matched against the `hashes` state table + within the
+  * batch; byte-identical rows are paired to their keeper and dropped
+  * before the decode, which at crawl-scale dup rates is the dominant
+  * per-row cost. Dropped rows live only in the pair log — connectivity to
+  * future near-dups flows through their byte-identical keeper's signature.
+  *
   * == State layout (the scale contract) ==
   *
   * The reference's probe touches ~3.6M of 50M index entries — bucket-local,
@@ -455,16 +463,63 @@ object StreamingDedup {
     if (batch.isEmpty) return
     val (fsRoot, rootPath) = fileSystem(spark, stateDir)
     checkStateP(fsRoot, rootPath, stateP)
-    val sigs = Dedup.signatures(batch, cfg).localCheckpoint()
-    val newBands = Dedup.bands(sigs, cfg).localCheckpoint()
-    phase("featurize+bands")
     val indexPath = s"$stateDir/index"
     val sigsPath = s"$stateDir/sigs"
     val anchPath = s"$stateDir/ss_anchors"
     val winsPath = s"$stateDir/ss_windows"
     val pairsPath = s"$stateDir/pairs"
+    val hashPath = s"$stateDir/hashes"
     def batchDir(table: String) = s"$table/batch_$batchId"
     val self = Some(batchId)
+    // first-batch short-circuit: all tables commit atomically, so the
+    // index table's committed set witnesses whether ANY state exists. With
+    // none, there is nothing to prune (or read) — skip the prune-set jobs
+    // entirely instead of computing partition sets no read will consult
+    // (measured: ~1.5 s of a 6 s single-batch drain was prune-set jobs
+    // against an empty store). committedDirs already excludes this batch,
+    // so computing it before the marker withdrawal below is equivalent.
+    val hasState = {
+      val c = committedDirs(fsRoot, new Path(indexPath), self)
+      c.base.nonEmpty || c.batches.nonEmpty
+    }
+    // ---- exact front tier: byte-identical rows are matched by content
+    // hash (sha-256 — a 64-bit key expects birthday collisions at corpus
+    // scale, each silently merging two unrelated images) against the
+    // hashes state table + within the batch, paired to their keeper, and
+    // dropped BEFORE featurization. At crawl-scale dup rates this skips
+    // the decode (the dominant per-row cost) for the bulk of the volume;
+    // the price is a second scan of the micro-batch source (hash pass +
+    // featurize pass over survivors), which is I/O, not decode. Dropped
+    // rows never enter sigs/index state — any future near-dup of a
+    // dropped row matches its byte-identical keeper's signature instead,
+    // so connectivity (and recall) is preserved transitively. The hashes
+    // table holds keepers only, hence one row per sha by construction;
+    // the groupBy-min on the probe read is defensive, not load-bearing.
+    val newHashes = batch.select(col("image_id"),
+      sha2(col("bytes"), 256).as("bytes_sha")).localCheckpoint()
+    val hashTouched =
+      if (!hasState) Set.empty[Int]
+      else touchedPartitions(newHashes, Seq(col("bytes_sha")), stateP)
+    val (oldHashes, hashStats) = readState(spark, hashPath, hashSchema,
+      self, Some(hashTouched), metrics)
+    val oldRep = oldHashes.groupBy("bytes_sha")
+      .agg(min("image_id").as("rep"))
+    val minNew = newHashes.groupBy("bytes_sha")
+      .agg(min("image_id").as("min_new"))
+    val labeledNew = newHashes
+      .join(oldRep, Seq("bytes_sha"), "left").join(minNew, "bytes_sha")
+      .withColumn("canon", coalesce(col("rep"), col("min_new")))
+      .localCheckpoint()
+    val exactPairs = labeledNew.filter(col("image_id") =!= col("canon"))
+      .select(col("image_id").as("a"), col("canon").as("b"))
+    val keeperHashes = labeledNew.filter(col("image_id") === col("canon"))
+      .select(col("bytes_sha"), col("image_id"))
+    val survivors = batch.join(keeperHashes.select("image_id"),
+      Seq("image_id"), "left_semi")
+    phase("exact tier")
+    val sigs = Dedup.signatures(survivors, cfg).localCheckpoint()
+    val newBands = Dedup.bands(sigs, cfg).localCheckpoint()
+    phase("featurize+bands")
     // replay: withdraw this batch's ONE commit marker BEFORE touching its
     // files, so a concurrent clustersFromState never reads mid-overwrite —
     // and never sees some tables' rows without the others'
@@ -478,16 +533,6 @@ object StreamingDedup {
     val newAnch = SubstringDup.anchorTable(newTexts, w).localCheckpoint()
     val newWins = SubstringDup.windowTable(newTexts, w).localCheckpoint()
     phase("substring tables")
-    // first-batch short-circuit: all six tables commit atomically, so the
-    // index table's committed set witnesses whether ANY state exists. With
-    // none, there is nothing to prune (or read) — skip the prune-set jobs
-    // entirely instead of computing partition sets no read will consult
-    // (measured: ~1.5 s of a 6 s single-batch drain was prune-set jobs
-    // against an empty store)
-    val hasState = {
-      val c = committedDirs(fsRoot, new Path(indexPath), self)
-      c.base.nonEmpty || c.batches.nonEmpty
-    }
     val noneTouched = Map("idx" -> Set.empty[Int], "anch" -> Set.empty[Int],
       "wins" -> Set.empty[Int])
     // ONE job computes every prune set derivable from the new rows alone
@@ -555,7 +600,7 @@ object StreamingDedup {
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration.Duration
     import scala.concurrent.ExecutionContext.Implicits.global
-    val allPairs = verifiedPairs.union(ssPairs)
+    val allPairs = verifiedPairs.union(ssPairs).union(exactPairs)
     val batchPairs =
       if (metrics) allPairs.localCheckpoint() else allPairs
     val writes = Seq(
@@ -563,14 +608,15 @@ object StreamingDedup {
       newBands -> batchDir(indexPath),
       sigs -> batchDir(sigsPath),
       newAnch -> batchDir(anchPath),
-      newWins -> batchDir(winsPath))
+      newWins -> batchDir(winsPath),
+      keeperHashes -> batchDir(hashPath))
     Await.result(Future.sequence(writes.map { case (df, dir) =>
       Future(df.coalesce(4).write.mode("overwrite").parquet(dir))
     }), Duration.Inf)
     phase("state writes")
     if (metrics) {
       import spark.implicits._
-      val st = idxStats + anchStats + winStats + sigStats
+      val st = idxStats + anchStats + winStats + sigStats + hashStats
       // every counted frame is localCheckpointed — counts scan materialized
       // local blocks, never recompute pipeline work
       val probed = relevantOld.count()
@@ -584,10 +630,13 @@ object StreamingDedup {
         recommendedStateP(fsRoot.getContentSummary(b).getLength, stateP))
         .getOrElse(stateP)
       val wallMs = (System.nanoTime() - tWall0) / 1000000L
-      Seq((batchId, sigs.count(), probed,
+      // labeledNew is checkpointed — the exact-tier count scans local blocks
+      val exactDropped =
+        labeledNew.filter(col("image_id") =!= col("canon")).count()
+      Seq((batchId, sigs.count(), exactDropped, probed,
           cands.count(), batchPairs.count(), st.filesRead, st.filesTotal,
           touchedFrac, stateP, recP, wallMs))
-        .toDF("batch_id", "new_rows", "index_rows_probed",
+        .toDF("batch_id", "new_rows", "exact_dropped", "index_rows_probed",
           "candidate_pairs", "pairs_appended",
           "state_files_read", "state_files_total",
           "touched_frac_idx", "state_p", "recommended_p", "batch_wall_ms")
@@ -645,6 +694,7 @@ object StreamingDedup {
 
   val metricsSchema: StructType = StructType(Seq(
     StructField("batch_id", LongType), StructField("new_rows", LongType),
+    StructField("exact_dropped", LongType),
     StructField("index_rows_probed", LongType),
     StructField("candidate_pairs", LongType),
     StructField("pairs_appended", LongType),
@@ -677,6 +727,8 @@ object StreamingDedup {
     StructField("a", StringType), StructField("k", LongType)))
   private val windowSchema = StructType(Seq(
     StructField("b", StringType), StructField("k", LongType)))
+  private val hashSchema = StructType(Seq(
+    StructField("bytes_sha", StringType), StructField("image_id", StringType)))
 
   /** Every state table with its schema, bucket-partition keys (None =
     * unpartitioned: nothing probes the table by key) and within-partition
@@ -691,6 +743,7 @@ object StreamingDedup {
       ("ss_anchors", anchorSchema, Some(Seq(col("k"))), Seq(col("k"))),
       ("ss_windows", windowSchema, Some(Seq(col("k"))), Seq(col("k"))),
       ("pairs", pairSchema, None, Nil),
+      ("hashes", hashSchema, Some(Seq(col("bytes_sha"))), Seq(col("bytes_sha"))),
       ("metrics", metricsSchema, None, Nil))
 
   /** OFFLINE stateP migration: rewrite every table's committed view into a

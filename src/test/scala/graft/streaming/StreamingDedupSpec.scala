@@ -92,9 +92,15 @@ class StreamingDedupSpec extends AnyFunSuite {
       Trigger.AvailableNow(), maxFilesPerTrigger = 1,
       stateP = 16, compactEvery = 2)
     q2.awaitTermination()
-    assert(distinctSigs() === images.count())
-    val streamedPairs = pairSet(
-      StreamingDedup.clustersFromState(spark, s"$root/state"))
+    // the exact front tier drops byte-identical rows before featurize, so
+    // sigs hold <= one row per CONTENT; coverage of every image id is the
+    // clustering's contract, checked below
+    assert(distinctSigs() <= images.count())
+    val streamedClusters =
+      StreamingDedup.clustersFromState(spark, s"$root/state")
+    assert(streamedClusters.select("image_id").distinct().count()
+      === images.count())
+    val streamedPairs = pairSet(streamedClusters)
     val batchPairs = pairSet(Dedup.run(images, cfg))
     assert(batchPairs.subsetOf(streamedPairs),
       s"resume lost ${batchPairs.diff(streamedPairs).size} batch pairs")
@@ -132,7 +138,7 @@ class StreamingDedupSpec extends AnyFunSuite {
     // concurrent reader's planned scan cannot lose files underneath it) —
     // bounded either way, vs one dir PER BATCH unbounded
     for (table <- Seq("index", "sigs", "ss_anchors", "ss_windows", "pairs",
-        "metrics")) {
+        "hashes", "metrics")) {
       val dirs = new java.io.File(s"$state/$table").listFiles
         .filter(f => f.isDirectory && !f.getName.startsWith("."))
       assert(dirs.length <= 2 * (compactEvery + 1),
@@ -408,5 +414,49 @@ class StreamingDedupSpec extends AnyFunSuite {
     val twice = twiceClusters.distinct()
       .collect().map(r => (r.getString(0), r.getString(1))).toSet
     assert(twice === once)
+  }
+
+  test("exact front tier: byte-identical rows are dropped before featurize, cross- and intra-batch") {
+    val cfg = DedupConfig()
+    val root = Files.createTempDirectory("graft-stream-exact").toString
+    val state = s"$root/state"
+    val (images, _) = SyntheticCorpus.generate(spark,
+      nGroups = 6, variantsPerGroup = 2, nDistractors = 6)
+    val base = images.localCheckpoint()
+    StreamingDedup.processBatch(spark, base, state, cfg, batchId = 0L,
+      metrics = true, stateP = 8)
+    // batch 1: byte-identical copies of every batch-0 row (cross-batch
+    // exact dups) plus two copies of one of them (intra-batch exact dup)
+    val copies = base.withColumn("image_id", concat(col("image_id"), lit("~c")))
+    val extra = copies.orderBy("image_id").limit(1)
+      .withColumn("image_id", concat(col("image_id"), lit("2")))
+    val b1 = copies.union(extra).localCheckpoint()
+    StreamingDedup.processBatch(spark, b1, state, cfg, batchId = 1L,
+      metrics = true, stateP = 8)
+
+    // every copy was dropped by the exact tier: batch 1 contributed ZERO
+    // signature/index rows (nothing decoded), and the metrics row says so
+    val m = StreamingDedup.metricsFromState(spark, state)
+      .orderBy("batch_id").collect()
+    assert(m(1).getAs[Long]("new_rows") === 0L)
+    assert(m(1).getAs[Long]("exact_dropped") === b1.count())
+    // batch 0 drops exactly the corpus's own byte-identical rows (caption-
+    // paraphrase variants share their base image's bytes) — intra-batch
+    val distinctContents = base
+      .select(sha2(col("bytes"), 256)).distinct().count()
+    assert(m(0).getAs[Long]("exact_dropped") === base.count() - distinctContents)
+    assert(m(0).getAs[Long]("new_rows") === distinctContents)
+    // ...yet clustering still places every copy with its original: the
+    // exact pairs carry connectivity through the pair log
+    val clusters = StreamingDedup.clustersFromState(spark, state)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    base.select("image_id").collect().map(_.getString(0)).foreach { id =>
+      assert(clusters(s"$id~c") === clusters(id),
+        s"copy of $id not co-clustered")
+    }
+    // the intra-batch duplicate (~c2) co-clusters with its original too
+    val c2 = clusters.keys.find(_.endsWith("~c2")).get
+    assert(clusters(c2) === clusters(c2.stripSuffix("~c2")))
+    ()
   }
 }
