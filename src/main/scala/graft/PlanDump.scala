@@ -22,6 +22,9 @@ object PlanDump {
     dump("q18_simhash_dedup")
     // IVF ANN: broadcast probe list, cell-restricted scan, top-k window
     dump("q31_ann_ivf")
+    // tiered cascade: exact tier must stay one hash shuffle + semi-joins;
+    // the embedding tier's input must already be frontier-pruned
+    dump("q35_tiered_dedup")
     // image pipeline stages
     println("\n===== image signatures -> bands -> candidates =====")
     val (images, _) = graft.images.SyntheticCorpus.generate(spark, 5, 2, 5)
@@ -30,6 +33,12 @@ object PlanDump {
     val cands = graft.pipeline.Dedup.candidates(
       graft.pipeline.Dedup.bands(sigs, cfg), cfg)
     cands.explain("formatted")
+    // image cascade tier 1: the sha groupBy + the survivor semi-join —
+    // `bytes` must appear ONLY in the scan feeding sha/signatures, never
+    // in a shuffle
+    println("\n===== tiered image cascade (verdicts) =====")
+    graft.pipeline.TieredImageDedup.run(images, cfg).verdicts
+      .explain("formatted")
     spark.stop()
   }
 }
