@@ -66,7 +66,8 @@ object Bench {
     // an hour (round-3 verdict #2 — phantom regressions in untouched code);
     // the min over back-to-back trials is the stable per-round statistic
     // (same protocol the scaling harness has always used, ScalingBench).
-    val trials = sys.env.getOrElse("SPARK_GRAFT_BENCH_TRIALS", "2").toInt
+    val trials =
+      math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_TRIALS", "2").toInt)
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val secs = (1 to trials).map { _ =>
         val t0 = System.nanoTime()

@@ -59,6 +59,10 @@ object SoakJob {
     def window(rows: Seq[org.apache.spark.sql.Row]): (Double, Double) = (
       rows.map(_.getAs[Long]("batch_wall_ms")).sum.toDouble / rows.size,
       rows.map(_.getAs[Long]("state_files_read")).sum.toDouble / rows.size)
+    // the head/tail comparison needs enough batches past the warmup decade
+    // to fill both windows — refuse to print NaN "evidence" otherwise
+    require(m.length >= 48,
+      s"soak needs >= 48 metric rows for the head/tail windows, got ${m.length}")
     val head = m.slice(16, 32).toSeq
     val tail = m.slice(m.length - 16, m.length).toSeq
     val (headWall, headRead) = window(head)

@@ -409,25 +409,27 @@ object SparkEntry {
     }),
     "q36_img_tiered" -> ((s, _) => {
       // the tiered cascade on the north-rule image+caption table: tier 1
-      // exact sha-256(bytes), tier 2 SimHash/MinHash near-dup, tier 3
-      // caption substring containment — each over the previous tier's
-      // survivors, per-tier drop attribution. DuckDB re-derives tier 1
-      // from the dumped content hashes, tier 2's closure from the dumped
-      // verified pairs (the pairs themselves are value-checked by q24),
-      // and the ENTIRE tier-3 substring operator independently (strpos
-      // over the dumped normalized captions) — plus both closures.
+      // exact record hash (sha-256 over bytes AND caption), tier 2
+      // SimHash/MinHash near-dup, tier 3 caption substring containment —
+      // each over the previous tier's survivors, per-tier drop
+      // attribution. DuckDB re-derives tier 1 from the dumped record
+      // hashes, tier 2's closure from the dumped verified pairs (the
+      // pairs themselves are value-checked by q24), and the ENTIRE tier-3
+      // substring operator independently (strpos over the dumped
+      // normalized captions) — plus both closures.
       val cfg = DedupConfig()
       val (images, _) = OracleDump.sharedCorpus(s, 40, 3, 30)
-      // plant byte-identical copies so the exact tier has real work; the
-      // suffixed id sorts after its original (prefix property), keeping
-      // the original as the expected canonical
+      // plant identical-record copies so the exact tier has real work;
+      // the suffixed id sorts after its original (prefix property),
+      // keeping the original as the expected canonical
       val copies = images.filter(pmod(crc32(col("image_id")), lit(5)) === 0)
         .withColumn("image_id", concat(col("image_id"), lit("~c")))
       val all = images.union(copies).localCheckpoint()
       val normUdf = udf((c: String) =>
         graft.featurize.ImageFeaturizer.normalizeCaption(c))
       OracleDump.dump("q36_input", all.select(col("image_id"),
-        sha2(col("bytes"), 256).as("bytes_sha"),
+        graft.pipeline.TieredImageDedup
+          .recordSha(col("bytes"), col("caption")).as("record_sha"),
         normUdf(col("caption")).as("caption_norm")))
       val res = graft.pipeline.TieredImageDedup.run(all, cfg)
       OracleDump.dump("q36_near", res.nearPairs)
@@ -713,8 +715,8 @@ object SparkEntry {
     "q36_img_tiered" ->
       s"""WITH RECURSIVE
         |inp AS (SELECT * FROM read_parquet('${OracleDump.glob("q36_input")}')),
-        |canon1 AS (SELECT bytes_sha, min(image_id) AS c FROM inp GROUP BY bytes_sha),
-        |l1 AS (SELECT i.image_id, canon1.c FROM inp i JOIN canon1 USING (bytes_sha)),
+        |canon1 AS (SELECT record_sha, min(image_id) AS c FROM inp GROUP BY record_sha),
+        |l1 AS (SELECT i.image_id, canon1.c FROM inp i JOIN canon1 USING (record_sha)),
         |surv1 AS (SELECT image_id FROM l1 WHERE image_id = c),
         |p2 AS (SELECT a, b FROM read_parquet('${OracleDump.glob("q36_near")}')),
         |sym2 AS (SELECT a, b FROM p2 UNION SELECT b, a FROM p2),

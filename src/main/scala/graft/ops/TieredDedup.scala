@@ -51,11 +51,16 @@ object TieredDedup {
       minCos: Double = 0.4, approxSem: Boolean = false): Result = {
     val spark = docs.sparkSession
 
-    // ---- tier 1: exact (one shuffle on the text hash, partial agg) ----
-    val canon1 = docs.groupBy(col("text"))
+    // ---- tier 1: exact (one shuffle on the text DIGEST, partial agg —
+    // shuffling sha-256 keys instead of multi-KB document bodies; null
+    // text gets a non-hex marker key so it groups with its own kind
+    // instead of falling out of the join) ----
+    val textSha = when(col("text").isNull, lit("nulltext"))
+      .otherwise(sha2(encode(col("text"), "UTF-8"), 256))
+    val keyed = docs.select(col("doc_id"), textSha.as("text_sha"))
+    val canon1 = keyed.groupBy(col("text_sha"))
       .agg(min("doc_id").as("canonical_id"))
-    val labeled1 = docs.select("doc_id", "text")
-      .join(canon1, "text")
+    val labeled1 = keyed.join(canon1, "text_sha")
       .select(col("doc_id"), col("canonical_id")).localCheckpoint()
     val t1 = labeled1.filter(col("doc_id") =!= col("canonical_id"))
       .select(col("doc_id"), lit(1).as("tier"), col("canonical_id"))

@@ -1,14 +1,21 @@
 package graft.pipeline
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Tiered deduplication over the north-rule image+caption corpus — the
   * image-payload counterpart of `ops.TieredDedup`'s document cascade:
   *
-  *   tier 1  exact     sha-256(bytes) groupBy             byte-identical rows
+  *   tier 1  exact     sha-256(record) groupBy            identical records
   *   tier 2  near      SimHash/MinHash LSH + verify       perceptual near-dups
   *   tier 3  caption   anchored windowed-hash substring   caption-containment
+  *
+  * Tier 1 keys on the WHOLE record (bytes AND caption), not bytes alone:
+  * a byte-identical row with a different caption is not fully redundant —
+  * its caption drives minhash and substring edges the later tiers need —
+  * so dropping it against a keeper with another caption would silently
+  * lose those links. Only a row whose keeper is feature-for-feature
+  * indistinguishable may skip the expensive tiers.
   *
   * Each tier sees only the SURVIVORS of the previous one. The monolithic
   * pipeline (`Dedup.run`) unions the near + substring edges into ONE
@@ -38,6 +45,19 @@ import org.apache.spark.sql.functions._
   */
 object TieredImageDedup {
 
+  /** sha-256 identity of one (bytes, caption) record, null-safe: a null
+    * bytes or caption groups with its own kind instead of producing a null
+    * key that silently falls out of every equi-join (a null-keyed row would
+    * get NO verdict and NO pair — it would just vanish). Unambiguous by
+    * construction: the first component is either a 64-char hex digest or
+    * the non-hex marker `nullbytes`, so no (bytes, caption) pair can
+    * boundary-shift into a different one; a null caption is marked with a
+    * NUL, which no real caption equals. */
+  def recordSha(bytes: Column, caption: Column): Column =
+    sha2(concat(
+      coalesce(sha2(bytes, 256), lit("nullbytes")),
+      coalesce(caption, lit("\u0000"))), 256)
+
   final case class Result(
       verdicts: DataFrame, // (image_id, tier, canonical_id) — one row per image
       nearPairs: DataFrame, // tier-2 evidence: (a, b) verified near-dup pairs
@@ -50,12 +70,13 @@ object TieredImageDedup {
   def run(images: DataFrame, cfg: DedupConfig = DedupConfig()): Result = {
     val spark = images.sparkSession
 
-    // ---- tier 1: exact bytes (one shuffle on the content hash) ----
+    // ---- tier 1: exact record (one shuffle on the content hash; the
+    // heavy bytes column never shuffles — only its digest does) ----
     val hashed = images.select(col("image_id"),
-      sha2(col("bytes"), 256).as("bytes_sha"))
-    val canon1 = hashed.groupBy("bytes_sha")
+      recordSha(col("bytes"), col("caption")).as("record_sha"))
+    val canon1 = hashed.groupBy("record_sha")
       .agg(min("image_id").as("canonical_id"))
-    val labeled1 = hashed.join(canon1, "bytes_sha")
+    val labeled1 = hashed.join(canon1, "record_sha")
       .select("image_id", "canonical_id").localCheckpoint()
     val t1 = labeled1.filter(col("image_id") =!= col("canonical_id"))
       .select(col("image_id"), lit(1).as("tier"), col("canonical_id"))

@@ -16,12 +16,15 @@ import graft.pipeline.{ConnectedComponents, Dedup, DedupConfig, SubstringDup}
   * continuously instead of per full batch rerun.
   *
   * An exact front tier runs before featurization (the streaming form of
-  * `TieredImageDedup`'s tier 1): incoming rows are content-hashed
-  * (sha-256) and matched against the `hashes` state table + within the
-  * batch; byte-identical rows are paired to their keeper and dropped
-  * before the decode, which at crawl-scale dup rates is the dominant
-  * per-row cost. Dropped rows live only in the pair log — connectivity to
-  * future near-dups flows through their byte-identical keeper's signature.
+  * `TieredImageDedup`'s tier 1): incoming rows are record-hashed (sha-256
+  * over bytes AND caption — `TieredImageDedup.recordSha`; a byte-identical
+  * row with a different caption must survive, its caption drives edges)
+  * and matched against the `hashes` state table + within the batch;
+  * identical-record rows are paired to their keeper and dropped before
+  * the decode, which at crawl-scale dup rates is the dominant per-row
+  * cost. Dropped rows live only in the pair log — every feature of a
+  * dropped row is bit-identical to its keeper's, so connectivity to
+  * future matches flows through the keeper's signature and captions.
   *
   * == State layout (the scale contract) ==
   *
@@ -178,7 +181,13 @@ object StreamingDedup {
     val floor = base.map(_._1)
     val batches = entries.flatMap { st =>
       st.getPath.getName match {
-        case BatchRe(id) if committed.contains(id.toLong) &&
+        // a batch dir is committed via the central per-batch marker, or —
+        // legacy migration — via a per-dir _done file (the pre-unified
+        // protocol, where each table's dir carried its own marker); new
+        // writers never create per-dir markers on batch dirs, so this
+        // cannot resurrect a torn new-protocol batch
+        case BatchRe(id) if (committed.contains(id.toLong) ||
+              isCommitted(fs, st.getPath)) &&
             !excludeBatch.contains(id.toLong) &&
             floor.forall(id.toLong > _) =>
           Some((id.toLong, st.getPath))
@@ -344,11 +353,46 @@ object StreamingDedup {
     * among them, even when it reuses the old base's id (force + no
     * batches: the data is materialized into the tmp dir BEFORE the old
     * dest is deleted, so an in-place rewrite is safe). */
+  private val TmpBaseRe = "\\.base_(-?\\d+)\\.tmp".r
+  private val OldBaseRe = "\\.base_(-?\\d+)\\.old".r
+
+  /** Complete or roll back an in-place base rewrite a crash interrupted.
+    * The in-place sequence is: write `.base_N.tmp` (+ _done) → rename live
+    * `base_N` aside to `.base_N.old` → rename tmp to `base_N`. A crash
+    * between the two renames leaves NO visible base while the data exists
+    * in the _done tmp (complete new base) and the aside dir (untouched old
+    * base) — roll FORWARD by promoting the tmp; if only the aside exists
+    * (crash after an aside rename whose tmp was then lost), roll BACK by
+    * restoring it. Leftover aside/tmp dirs with a live base are residue,
+    * swept by the recomputed deletion ledger. */
+  private def healInPlaceRewrite(fs: FileSystem, table: Path): Unit = {
+    if (!fs.exists(table)) return
+    val entries = fs.listStatus(table).toSeq.filter(_.isDirectory)
+    def basePresent(id: String) = fs.exists(new Path(table, s"base_$id"))
+    entries.foreach { st =>
+      st.getPath.getName match {
+        case TmpBaseRe(id) if isCommitted(fs, st.getPath) && !basePresent(id) =>
+          require(fs.rename(st.getPath, new Path(table, s"base_$id")),
+            s"heal rename failed: ${st.getPath}")
+        case _ => ()
+      }
+    }
+    entries.foreach { st =>
+      st.getPath.getName match {
+        case OldBaseRe(id) if !basePresent(id) =>
+          require(fs.rename(st.getPath, new Path(table, s"base_$id")),
+            s"heal rollback failed: ${st.getPath}")
+        case _ => ()
+      }
+    }
+  }
+
   private def compactTable(spark: SparkSession, tablePath: String,
       schema: StructType, excludeBatch: Option[Long],
       partKeys: Option[Seq[Column]], sortCols: Seq[Column], stateP: Int,
       force: Boolean = false): Seq[String] = {
     val (fs, table) = fileSystem(spark, tablePath)
+    healInPlaceRewrite(fs, table)
     val c = committedDirs(fs, table, excludeBatch)
     if (c.batches.isEmpty && !(force && c.base.nonEmpty)) return Nil
     val baseId = c.base.flatMap(_.getName match {
@@ -372,9 +416,22 @@ object StreamingDedup {
     }
     markDone(fs, tmp)
     val dest = new Path(table, s"base_$newId")
-    if (fs.exists(dest)) fs.delete(dest, true) // stale replay leftover
+    // never delete a live base before the new one is in place: when dest
+    // is occupied (in-place rewrite — the force/resize path, or a crash
+    // replay landing on the same id) rename it ASIDE first, so every
+    // instant has either the old or the new base visible; a crash between
+    // the renames is healed (forward) by healInPlaceRewrite above. The
+    // aside dir is returned as consumed — deferred-deleted like any other
+    // subsumed dir.
+    val aside = new Path(table, s".base_$newId.old")
+    if (fs.exists(dest)) {
+      if (fs.exists(aside)) fs.delete(aside, true) // stale residue
+      require(fs.rename(dest, aside), s"aside rename failed: $dest -> $aside")
+    }
     require(fs.rename(tmp, dest), s"compaction rename failed: $tmp -> $dest")
-    (c.base.toSeq ++ c.batches.map(_._2)).map(_.toString)
+    val consumedBase = c.base.map(b =>
+      if (b.toString == dest.toString) aside else b)
+    (consumedBase.toSeq ++ c.batches.map(_._2)).map(_.toString)
       .filter(_ != dest.toString)
   }
 
@@ -397,20 +454,55 @@ object StreamingDedup {
       compactTable(spark, s"$stateDir/$name", schema,
         excludeBatch = Some(currentBatch), partKeys, sortCols, stateP)
     }
-    // (3) defer: consumed dirs + commit markers now subsumed by every
-    // table's base floor (a marker may only be dropped once NO table still
-    // needs its batch dirs)
-    val floors = tables.map { case (name, _, _, _) =>
+    // (3) defer: every dir the committed view no longer needs, RECOMPUTED
+    // from what is actually present (not just this round's compactTable
+    // returns) so a crash between a base rename and a ledger write
+    // self-heals — the orphaned dirs reappear in the next round's sweep.
+    // Subsumed: batch dirs at or below the table's base floor, superseded
+    // (non-max) base dirs, and aside/tmp residue whose base is live.
+    val swept = tables.flatMap { case (name, _, _, _) =>
       val (fsT, t) = fileSystem(spark, s"$stateDir/$name")
-      if (!fsT.exists(t)) Long.MinValue
-      else fsT.listStatus(t).toSeq.filter(_.isDirectory).flatMap {
+      if (!fsT.exists(t)) Nil
+      else {
+        val entries = fsT.listStatus(t).toSeq.filter(_.isDirectory)
+        val baseIds = entries.flatMap(_.getPath.getName match {
+          case BaseRe(id) if isCommitted(fsT, new Path(t, s"base_$id")) =>
+            Some(id.toLong)
+          case _ => None
+        })
+        val floor = baseIds.maxOption
+        entries.flatMap { st =>
+          st.getPath.getName match {
+            case BaseRe(id) if floor.exists(id.toLong < _) =>
+              Some(st.getPath.toString)
+            case BatchRe(id) if floor.exists(id.toLong <= _) &&
+                id.toLong != currentBatch =>
+              Some(st.getPath.toString)
+            case TmpBaseRe(id) if floor.exists(id.toLong <= _) &&
+                fsT.exists(new Path(t, s"base_$id")) =>
+              Some(st.getPath.toString)
+            case OldBaseRe(id) if fsT.exists(new Path(t, s"base_$id")) =>
+              Some(st.getPath.toString)
+            case _ => None
+          }
+        }
+      }
+    }
+    // commit markers may only be dropped once NO table still needs their
+    // batch dirs: min over the base floors of tables that EXIST (a table
+    // never written — e.g. metrics with metrics=false — must not pin the
+    // floor at -inf forever and leak one marker per batch)
+    val floors = tables.flatMap { case (name, _, _, _) =>
+      val (fsT, t) = fileSystem(spark, s"$stateDir/$name")
+      if (!fsT.exists(t)) None
+      else Some(fsT.listStatus(t).toSeq.filter(_.isDirectory).flatMap {
         st => st.getPath.getName match {
           case BaseRe(id) if isCommitted(fsT, st.getPath) => Some(id.toLong)
           case _ => None
         }
-      }.maxOption.getOrElse(Long.MinValue)
+      }.maxOption.getOrElse(Long.MinValue))
     }
-    val safeFloor = floors.min
+    val safeFloor = if (floors.isEmpty) Long.MinValue else floors.min
     val commits = new Path(root, "commits")
     val staleMarkers =
       if (!fs.exists(commits)) Nil
@@ -418,7 +510,7 @@ object StreamingDedup {
         case BatchRe(id) => id.toLong <= safeFloor
         case _ => false
       }).map(_.toString)
-    writeLedger(fs, root, (consumed ++ staleMarkers).distinct)
+    writeLedger(fs, root, (consumed ++ swept ++ staleMarkers).distinct)
   }
 
   /** Recommended state partition count for a given base size: enough
@@ -482,38 +574,40 @@ object StreamingDedup {
       val c = committedDirs(fsRoot, new Path(indexPath), self)
       c.base.nonEmpty || c.batches.nonEmpty
     }
-    // ---- exact front tier: byte-identical rows are matched by content
-    // hash (sha-256 — a 64-bit key expects birthday collisions at corpus
-    // scale, each silently merging two unrelated images) against the
-    // hashes state table + within the batch, paired to their keeper, and
-    // dropped BEFORE featurization. At crawl-scale dup rates this skips
-    // the decode (the dominant per-row cost) for the bulk of the volume;
-    // the price is a second scan of the micro-batch source (hash pass +
-    // featurize pass over survivors), which is I/O, not decode. Dropped
-    // rows never enter sigs/index state — any future near-dup of a
-    // dropped row matches its byte-identical keeper's signature instead,
-    // so connectivity (and recall) is preserved transitively. The hashes
+    // ---- exact front tier: rows with an IDENTICAL RECORD (bytes AND
+    // caption — `TieredImageDedup.recordSha`; a byte-identical row with a
+    // different caption must survive, its caption drives minhash/substring
+    // edges) are matched against the hashes state table + within the
+    // batch, paired to their keeper, and dropped BEFORE featurization. At
+    // crawl-scale dup rates this skips the decode (the dominant per-row
+    // cost) for the bulk of the volume; the price is a second scan of the
+    // micro-batch source (hash pass + featurize pass over survivors),
+    // which is I/O, not decode. Dropped rows never enter sigs/index/
+    // substring state — every feature of a dropped row is bit-identical
+    // to its keeper's, so any future match lands on the keeper and
+    // connectivity (and recall) is preserved transitively. The hashes
     // table holds keepers only, hence one row per sha by construction;
     // the groupBy-min on the probe read is defensive, not load-bearing.
     val newHashes = batch.select(col("image_id"),
-      sha2(col("bytes"), 256).as("bytes_sha")).localCheckpoint()
+      graft.pipeline.TieredImageDedup.recordSha(col("bytes"), col("caption"))
+        .as("record_sha")).localCheckpoint()
     val hashTouched =
       if (!hasState) Set.empty[Int]
-      else touchedPartitions(newHashes, Seq(col("bytes_sha")), stateP)
+      else touchedPartitions(newHashes, Seq(col("record_sha")), stateP)
     val (oldHashes, hashStats) = readState(spark, hashPath, hashSchema,
       self, Some(hashTouched), metrics)
-    val oldRep = oldHashes.groupBy("bytes_sha")
+    val oldRep = oldHashes.groupBy("record_sha")
       .agg(min("image_id").as("rep"))
-    val minNew = newHashes.groupBy("bytes_sha")
+    val minNew = newHashes.groupBy("record_sha")
       .agg(min("image_id").as("min_new"))
     val labeledNew = newHashes
-      .join(oldRep, Seq("bytes_sha"), "left").join(minNew, "bytes_sha")
+      .join(oldRep, Seq("record_sha"), "left").join(minNew, "record_sha")
       .withColumn("canon", coalesce(col("rep"), col("min_new")))
       .localCheckpoint()
     val exactPairs = labeledNew.filter(col("image_id") =!= col("canon"))
       .select(col("image_id").as("a"), col("canon").as("b"))
     val keeperHashes = labeledNew.filter(col("image_id") === col("canon"))
-      .select(col("bytes_sha"), col("image_id"))
+      .select(col("record_sha"), col("image_id"))
     val survivors = batch.join(keeperHashes.select("image_id"),
       Seq("image_id"), "left_semi")
     phase("exact tier")
@@ -728,7 +822,7 @@ object StreamingDedup {
   private val windowSchema = StructType(Seq(
     StructField("b", StringType), StructField("k", LongType)))
   private val hashSchema = StructType(Seq(
-    StructField("bytes_sha", StringType), StructField("image_id", StringType)))
+    StructField("record_sha", StringType), StructField("image_id", StringType)))
 
   /** Every state table with its schema, bucket-partition keys (None =
     * unpartitioned: nothing probes the table by key) and within-partition
@@ -743,7 +837,7 @@ object StreamingDedup {
       ("ss_anchors", anchorSchema, Some(Seq(col("k"))), Seq(col("k"))),
       ("ss_windows", windowSchema, Some(Seq(col("k"))), Seq(col("k"))),
       ("pairs", pairSchema, None, Nil),
-      ("hashes", hashSchema, Some(Seq(col("bytes_sha"))), Seq(col("bytes_sha"))),
+      ("hashes", hashSchema, Some(Seq(col("record_sha"))), Seq(col("record_sha"))),
       ("metrics", metricsSchema, None, Nil))
 
   /** OFFLINE stateP migration: rewrite every table's committed view into a
@@ -760,11 +854,13 @@ object StreamingDedup {
     * consumed dirs immediately instead of deferring a cycle.
     *
     * Crash-safe w.r.t. the reader rule: each table's rewrite lands via
-    * write-tmp → `_done` → rename before anything is deleted, the new base
-    * subsumes every batch dir (so lingering dirs stay invisible), and
-    * `meta/state_p` is updated LAST — a crash anywhere before that leaves
-    * the old modulus in force and every table readable (a base already
-    * rewritten under `newP` is re-rewritten on retry). */
+    * write-tmp → `_done` → aside-rename of the live base → commit rename
+    * (a crash between the renames is healed forward from the `_done` tmp
+    * by the next compactTable on that table), the new base subsumes every
+    * batch dir (so lingering dirs stay invisible), and `meta/state_p` is
+    * updated LAST — a crash anywhere before that leaves the old modulus
+    * in force and every table readable (a base already rewritten under
+    * `newP` is re-rewritten on retry). */
   def resizeStateP(spark: SparkSession, stateDir: String, newP: Int): Unit = {
     require(newP > 0, s"newP must be positive, got $newP")
     val (fs, root) = fileSystem(spark, stateDir)
@@ -790,18 +886,19 @@ object StreamingDedup {
       if (fs.exists(path)) fs.delete(path, true)
     }
     // every committed batch is now folded into some table's base, so every
-    // marker at or below the min base floor is stale
-    val floors = tableSpecs.map { case (name, _, _, _) =>
+    // marker at or below the min base floor is stale; tables never written
+    // (e.g. metrics with metrics=false) must not pin the floor at -inf
+    val floors = tableSpecs.flatMap { case (name, _, _, _) =>
       val (fsT, t) = fileSystem(spark, s"$stateDir/$name")
-      if (!fsT.exists(t)) Long.MinValue
-      else fsT.listStatus(t).toSeq.filter(_.isDirectory).flatMap {
+      if (!fsT.exists(t)) None
+      else Some(fsT.listStatus(t).toSeq.filter(_.isDirectory).flatMap {
         st => st.getPath.getName match {
           case BaseRe(id) if isCommitted(fsT, st.getPath) => Some(id.toLong)
           case _ => None
         }
-      }.maxOption.getOrElse(Long.MinValue)
+      }.maxOption.getOrElse(Long.MinValue))
     }
-    val safeFloor = floors.min
+    val safeFloor = if (floors.isEmpty) Long.MinValue else floors.min
     val commits = new Path(root, "commits")
     if (fs.exists(commits))
       fs.listStatus(commits).toSeq.map(_.getPath).filter(_.getName match {

@@ -25,9 +25,9 @@ class TieredImageDedupSpec extends AnyFunSuite {
     // exactly one verdict per image
     assert(v.size.toLong === all.count())
     // every planted copy is dropped at tier 1; its canonical is at most its
-    // original (the corpus itself contains byte-identical rows — caption-
-    // paraphrase variants reuse the image bytes — so the byte-group minimum
-    // can be an even smaller sibling, never the copy itself)
+    // original (tier 1 keys on the whole record — bytes AND caption — so a
+    // smaller sibling is only possible if the corpus itself contains a
+    // full-record duplicate, e.g. a paraphrase that swapped zero tokens)
     val copyIds = copies.select("image_id").collect().map(_.getString(0))
     assert(copyIds.nonEmpty)
     copyIds.foreach { id =>

@@ -440,10 +440,12 @@ class StreamingDedupSpec extends AnyFunSuite {
       .orderBy("batch_id").collect()
     assert(m(1).getAs[Long]("new_rows") === 0L)
     assert(m(1).getAs[Long]("exact_dropped") === b1.count())
-    // batch 0 drops exactly the corpus's own byte-identical rows (caption-
-    // paraphrase variants share their base image's bytes) — intra-batch
-    val distinctContents = base
-      .select(sha2(col("bytes"), 256)).distinct().count()
+    // batch 0 drops exactly the corpus's own identical-RECORD rows (bytes
+    // AND caption — a byte-identical paraphrase variant survives, its
+    // caption drives edges) — intra-batch
+    val distinctContents = base.select(
+      graft.pipeline.TieredImageDedup.recordSha(col("bytes"), col("caption")))
+      .distinct().count()
     assert(m(0).getAs[Long]("exact_dropped") === base.count() - distinctContents)
     assert(m(0).getAs[Long]("new_rows") === distinctContents)
     // ...yet clustering still places every copy with its original: the
@@ -457,6 +459,47 @@ class StreamingDedupSpec extends AnyFunSuite {
     // the intra-batch duplicate (~c2) co-clusters with its original too
     val c2 = clusters.keys.find(_.endsWith("~c2")).get
     assert(clusters(c2) === clusters(c2.stripSuffix("~c2")))
+    ()
+  }
+
+  test("in-place base rewrite heals a crash between the aside and commit renames") {
+    val cfg = DedupConfig()
+    val root = Files.createTempDirectory("graft-stream-heal").toString
+    val state = s"$root/state"
+    val (images, _) = SyntheticCorpus.generate(spark,
+      nGroups = 5, variantsPerGroup = 2, nDistractors = 5)
+    val part = pmod(crc32(col("image_id")), lit(2))
+    StreamingDedup.processBatch(spark, images.filter(part === 0), state, cfg,
+      batchId = 0L, stateP = 4, compactEvery = 1)
+    StreamingDedup.processBatch(spark, images.filter(part === 1), state, cfg,
+      batchId = 1L, stateP = 4, compactEvery = 1) // compaction -> bases exist
+    val before = StreamingDedup.clustersFromState(spark, state)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+
+    def baseDirOf(table: String): java.io.File =
+      new java.io.File(s"$state/$table").listFiles
+        .find(f => f.isDirectory && f.getName.startsWith("base_")).get
+    // crash simulation A (forward heal): the _done new base sits in the
+    // tmp slot, no visible base — exactly the window between the aside
+    // rename and the commit rename
+    val sigsBase = baseDirOf("sigs")
+    assert(sigsBase.renameTo(
+      new java.io.File(sigsBase.getParent, s".${sigsBase.getName}.tmp")))
+    // crash simulation B (rollback): only the aside dir survives
+    val pairsBase = baseDirOf("pairs")
+    assert(pairsBase.renameTo(
+      new java.io.File(pairsBase.getParent, s".${pairsBase.getName}.old")))
+
+    // the simulated crash really hid both bases (readers ignore dotdirs)
+    for (table <- Seq("sigs", "pairs"))
+      assert(!new java.io.File(s"$state/$table").listFiles
+        .exists(f => f.isDirectory && f.getName.startsWith("base_")),
+        s"$table still has a visible base — simulation wrong")
+    // resize routes every table through compactTable, which heals first
+    StreamingDedup.resizeStateP(spark, state, 8)
+    val after = StreamingDedup.clustersFromState(spark, state)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(after === before)
     ()
   }
 }
