@@ -68,7 +68,15 @@ object Bench {
     // (same protocol the scaling harness has always used, ScalingBench).
     val trials =
       math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_TRIALS", "2").toInt)
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // iteration aid: SPARK_GRAFT_BENCH_ONLY=q32_stream_dedup,q34_stream_resize
+    // times just those queries (substring match). The driver never sets it,
+    // so per-round numbers always cover the full set.
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1).filter { case (n, _) =>
+      only.forall(_.exists(n.contains))
+    }
+    val results = selected.map { case (name, fn) =>
       val secs = (1 to trials).map { _ =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
@@ -77,11 +85,13 @@ object Bench {
       name -> secs.min
     }
     val groups = sys.env.getOrElse("SPARK_GRAFT_IMG_GROUPS", "600").toInt
-    val (dedupSec, nImages) = imageDedupRun(spark, groups, 4, groups, trials)
+    val (dedupSec, nImages) =
+      if (only.isEmpty) imageDedupRun(spark, groups, 4, groups, trials)
+      else (0.0, 0L)
     val qs = results.map { case (k, v) => "\"" + k + f"""":$v%.3f""" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum + dedupSec
-    val ips = nImages / dedupSec
+    val ips = if (dedupSec > 0) nImages / dedupSec else 0.0
     println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","trials":$trials,"stat":"min","queries":$qs,"sf":"$sfDir","img_dedup_sec":$dedupSec%.3f,"img_dedup_images":$nImages,"img_dedup_images_per_sec":$ips%.1f}""")
     spark.stop()
   }

@@ -439,6 +439,22 @@ object StreamingDedup {
     * round deferred, fold each table, write the new deletion ledger
     * (subsumed dirs + subsumed commit markers, recomputed from what is
     * actually present so a mid-round crash self-heals). */
+  /** Run one independent per-table action per spec concurrently and
+    * concatenate the results. Each action owns a disjoint table dir and
+    * submits its own Spark jobs — Spark's scheduler is thread-safe, and
+    * overlapping the seven small fold jobs turns serial driver latency
+    * into cluster-parallel work. */
+  private def parallelTables[A](
+      tables: Seq[(String, StructType, Option[Seq[Column]], Seq[Column])])(
+      f: ((String, StructType, Option[Seq[Column]], Seq[Column])) => Seq[A])
+      : Seq[A] = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    Await.result(Future.sequence(tables.map(t => Future(f(t)))), Duration.Inf)
+      .flatten
+  }
+
   private def compactAll(spark: SparkSession, stateDir: String,
       tables: Seq[(String, StructType, Option[Seq[Column]], Seq[Column])],
       currentBatch: Long, stateP: Int): Unit = {
@@ -449,8 +465,12 @@ object StreamingDedup {
       val path = new Path(p)
       if (fs.exists(path)) fs.delete(path, true)
     }
-    // (2) fold each table
-    val consumed = tables.flatMap { case (name, schema, partKeys, sortCols) =>
+    // (2) fold each table — tables are disjoint dirs with independent
+    // read→repartition→write jobs, so submit them concurrently (the same
+    // pattern as the per-batch state writes): compaction wall is the max
+    // of the table folds, not their sum, and a real cluster's executors
+    // stay fed instead of draining between seven small serial jobs
+    val consumed = parallelTables(tables) { case (name, schema, partKeys, sortCols) =>
       compactTable(spark, s"$stateDir/$name", schema,
         excludeBatch = Some(currentBatch), partKeys, sortCols, stateP)
     }
@@ -877,9 +897,10 @@ object StreamingDedup {
       if (fs.exists(path)) fs.delete(path, true)
     }
     writeLedger(fs, root, Nil)
-    val consumed = tableSpecs.flatMap { case (name, schema, partKeys, sortCols) =>
-      compactTable(spark, s"$stateDir/$name", schema, excludeBatch = None,
-        partKeys, sortCols, newP, force = true)
+    val consumed = parallelTables(tableSpecs) {
+      case (name, schema, partKeys, sortCols) =>
+        compactTable(spark, s"$stateDir/$name", schema, excludeBatch = None,
+          partKeys, sortCols, newP, force = true)
     }
     consumed.foreach { p =>
       val path = new Path(p)
