@@ -461,6 +461,19 @@ object SparkEntry {
       val index = OracleDump.dump("q33_index",
         graft.index.SimIndex.build(sigs.select("id", "sim_hi", "sim_lo"), cfg))
       graft.eval.RocEval.approxRocFromIndex(index, sigs)
+    }),
+    "q37_shared_spans" -> ((s, dir) => {
+      // cross-document repeated-span mining (suffix-array-family pass,
+      // north rule): pairs of documents sharing a verbatim >=40-char span,
+      // with the exact count of distinct shared 40-char windows. The
+      // entire operator — window explosion, hot-window cap, pair join,
+      // shared-window count — is re-derived relationally by DuckDB.
+      val docs = rd(s, dir, "documents")
+        .select(col("doc_id").as("id"), col("text"))
+      graft.pipeline.SubstringDup.sharedSpanPairs(s, docs, w = 40)
+        .select(col("a").as("doc_a"), col("b").as("doc_b"),
+          col("n_shared").cast("long").as("n_shared"))
+        .orderBy("doc_a", "doc_b")
     })
   )
 
@@ -586,6 +599,20 @@ object SparkEntry {
     "q16_exact_dedup" ->
       """SELECT min(doc_id) AS keeper_id, count(*) AS dup_count
         | FROM documents GROUP BY text ORDER BY keeper_id""".stripMargin,
+    "q37_shared_spans" ->
+      """WITH w AS (SELECT doc_id, unnest(list_distinct(
+        |   [substr(text, i, 40) FOR i IN range(1, greatest(length(text)-38, 1))])) AS win
+        |  FROM documents),
+        |kept AS (SELECT win FROM w GROUP BY win HAVING count(*) <= 1000),
+        |wk AS (SELECT w.doc_id, w.win FROM w JOIN kept ON w.win = kept.win),
+        |pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM wk a JOIN wk b ON a.win = b.win AND a.doc_id < b.doc_id)
+        |SELECT p.doc_a, p.doc_b, count(*) AS n_shared
+        |FROM pairs p
+        |  JOIN w wa ON wa.doc_id = p.doc_a
+        |  JOIN w wb ON wb.doc_id = p.doc_b AND wb.win = wa.win
+        |GROUP BY p.doc_a, p.doc_b
+        |ORDER BY doc_a, doc_b""".stripMargin,
     "q35_tiered_dedup" ->
       """WITH RECURSIVE
         |canon1 AS (SELECT text, min(doc_id) AS c FROM documents GROUP BY text),

@@ -57,6 +57,78 @@ object SubstringDup {
       .filter(col("b_text").contains(col("a_text")))
       .select(col("a"), col("b"))
 
+  /** Cross-document repeated-span mining — the second suffix-array-family
+    * pass (north rule), generalizing [[containedPairs]] from whole-caption
+    * containment to ANY shared verbatim span: pairs (a, b), a < b, whose
+    * texts share a common substring of length >= w. This is the
+    * "documents sharing a long verbatim repeat" contamination/boilerplate
+    * detector a training-data pipeline runs corpus-wide.
+    *
+    * Two texts share a span of length >= w iff they share at least one
+    * w-char window, so the monolithic suffix array shards into the same
+    * windowed-hash equi-join as [[containedPairs]]: every row emits its
+    * distinct w-window hashes, the self-join on the hash yields candidate
+    * pairs (ids only — O(total_chars) shuffled rows of (i64, id)), and the
+    * texts are re-joined ONLY for hash-matched candidates, where an exact
+    * string-set intersection removes 64-bit collisions and counts the
+    * distinct shared windows.
+    *
+    * Hot-window guard (mirrors `TextOps.ngramJaccardPairs`): a window
+    * present in m documents emits m² join rows, and real corpora have
+    * boilerplate (licenses, headers) with m in the millions — windows with
+    * document frequency > `maxWindowDf` are excluded from candidate
+    * generation via a broadcast anti-join and the drop is LOGGED; the
+    * DuckDB oracle applies the identical cap, so the operator contract is
+    * "pairs sharing a df<=K window" in both engines. `n_shared` is then
+    * computed over the FULL window universe by the exact verifier, so its
+    * value is cap-independent and collision-proof.
+    *
+    * @param rows columns (`id`, `text`)
+    * @return (a, b, n_shared): a < b, n_shared = number of distinct w-char
+    *         windows the two texts share (>= 1)
+    */
+  def sharedSpanPairs(spark: SparkSession, rows: DataFrame, w: Int = 40,
+      maxWindowDf: Int = 1000): DataFrame = {
+    val winUdf = udf((s: String) => windowHashes(s, w).distinct)
+    val wins = rows.select(col("id"), explode(winUdf(col("text"))).as("k"))
+    val hot = wins.groupBy("k").agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxWindowDf).select("k")
+    val nDropped = hot.count()
+    if (nDropped > 0)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"sharedSpanPairs: dropped $nDropped windows with df > $maxWindowDf " +
+          "(hot-key guard); candidate pairs are over the capped universe")
+    val kept = wins.join(broadcast(hot), Seq("k"), "left_anti")
+    val cands = kept.select(col("id").as("a"), col("k"))
+      .join(kept.select(col("id").as("b"), col("k")), "k")
+      .filter(col("a") < col("b"))
+      .select("a", "b").distinct()
+    val nSharedUdf = udf((x: String, y: String) => {
+      // windows of the shorter text as a set, probe with the longer —
+      // O(len_a + len_b) strings, caption/document-length inputs only
+      // (this runs per verified CANDIDATE, never per corpus row pair)
+      val (s1, s2) = if (x.length <= y.length) (x, y) else (y, x)
+      val set = new java.util.HashSet[String]()
+      var i = 0
+      while (i + w <= s1.length) { set.add(s1.substring(i, i + w)); i += 1 }
+      val seen = new java.util.HashSet[String]()
+      var n = 0
+      var j = 0
+      while (j + w <= s2.length) {
+        val sub = s2.substring(j, j + w)
+        if (set.contains(sub) && seen.add(sub)) n += 1
+        j += 1
+      }
+      n
+    })
+    cands
+      .join(rows.select(col("id").as("a"), col("text").as("a_text")), "a")
+      .join(rows.select(col("id").as("b"), col("text").as("b_text")), "b")
+      .withColumn("n_shared", nSharedUdf(col("a_text"), col("b_text")))
+      .filter(col("n_shared") >= 1)
+      .select(col("a"), col("b"), col("n_shared"))
+  }
+
   /** @param rows columns (`id`, `text`) — text should already be normalized
     * @return pairs (a, b), a != b, where text(a) is a substring of text(b)
     *         and length(text(a)) >= w

@@ -74,6 +74,37 @@ class DedupPipelineSpec extends AnyFunSuite {
     assert(pairs.map(r => (r.getString(0), r.getString(1))).toSet === Set(("a", "b")))
   }
 
+  test("shared-span pairs: finds cross-document verbatim repeats, counts exactly") {
+    import spark.implicits._
+    val span = "the quick brown fox jumps over the lazy dog near the river"
+    val rows = Seq(
+      // a and b share `span` mid-text but neither contains the other;
+      // the chars bounding the span differ on each side so no window
+      // straddling the boundary is shared
+      ("a", s"AAAA$span/BBBB trailing words here"),
+      ("b", s"CCCC$span.DDDD and a different suffix"),
+      ("c", "no overlap with anything else at all in this caption text"),
+      ("d", "short")
+    ).toDF("id", "text")
+    val got = SubstringDup.sharedSpanPairs(spark, rows, w = 40)
+      .collect().map(r => ((r.getString(0), r.getString(1)), r.getInt(2))).toMap
+    assert(got.keySet === Set(("a", "b")))
+    // exact count: every 40-char window inside `span` (len 59 -> 20 windows)
+    assert(got(("a", "b")) === span.length - 40 + 1)
+  }
+
+  test("shared-span pairs: hot-window cap drops boilerplate candidates") {
+    import spark.implicits._
+    val boiler = "x" * 60 // 21 distinct... actually 1 distinct 40-window
+    val rows = (0 until 5).map(i => (s"d$i", s"doc $i unique part $i $boiler"))
+      .toDF("id", "text")
+    // every pair shares the boilerplate windows; cap 3 < df 5 drops them all
+    val capped = SubstringDup.sharedSpanPairs(spark, rows, w = 40, maxWindowDf = 3)
+    assert(capped.count() === 0)
+    val uncapped = SubstringDup.sharedSpanPairs(spark, rows, w = 40)
+    assert(uncapped.count() === 10) // C(5,2)
+  }
+
   test("connected components: chain, clique, singleton (both paths identical)") {
     import spark.implicits._
     val edges = Seq(("a", "b"), ("b", "c"), ("x", "y")).toDF("a", "b")
