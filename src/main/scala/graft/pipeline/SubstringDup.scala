@@ -90,7 +90,13 @@ object SubstringDup {
   def sharedSpanPairs(spark: SparkSession, rows: DataFrame, w: Int = 40,
       maxWindowDf: Int = 1000): DataFrame = {
     val winUdf = udf((s: String) => windowHashes(s, w).distinct)
+    // materialize the (hash, id) table once: it feeds the hot-window count
+    // AND both sides of the self-join — without this the text scan + window
+    // explode runs four times. The table is ids-only (~16 B/row, ~40% of
+    // the raw text bytes at w=40), so checkpointing it is far cheaper than
+    // recomputing the explode
     val wins = rows.select(col("id"), explode(winUdf(col("text"))).as("k"))
+      .localCheckpoint()
     val hot = wins.groupBy("k").agg(count(lit(1)).as("df"))
       .filter(col("df") > maxWindowDf).select("k")
     val nDropped = hot.count()
