@@ -271,13 +271,19 @@ object SparkEntry {
           explode(shingleUdf(col("text"))).as("h"))
         .select(col("function_key"), col("h._1").as("feature_hi"),
           col("h._2").as("feature_lo"))
-      val (byDoc, hashes) = SimHashTrainer.featureTable(s, feats)
+      // byDoc feeds pair resolution AND both signature passes (4 consumers
+      // total) — materialize the featurize chain once; the table is
+      // (id, int-array) sized, ~3 MB at sf0.1
+      val (byDoc0, hashes) = SimHashTrainer.featureTable(s, feats)
+      val byDoc = byDoc0.localCheckpoint()
       val hi = hashes.map(_._1); val lo = hashes.map(_._2)
       // attract = the LSH near-dup pairs; repulse = deterministic far pairs
       // (attract pair #i repels doc at rank i%n from doc at rank (i+n/2)%n
-      // — rank joins, no driver-side id arrays)
+      // — rank joins, no driver-side id arrays). Checkpointed: the LSH
+      // dedup otherwise re-runs for the rank-index job and the pair dump
       val attract = DedupOps.minhashLshDedup(docs, 0.5)
         .select(col("doc_a").as("a"), col("doc_b").as("b"))
+        .localCheckpoint()
       val nDocs = docs.count()
       val ranked = docs.select("doc_id").orderBy("doc_id")
         .rdd.zipWithIndex.map { case (r, i) => (r.getLong(0), i) }

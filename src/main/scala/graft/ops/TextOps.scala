@@ -113,7 +113,11 @@ object TextOps {
     * df<=K shingles" in both engines. */
   def ngramJaccardPairs(docs: DataFrame, minJaccard: Double,
       maxShingleDf: Int = 1000): DataFrame = {
+    // materialized once: the shingle table feeds the hot-key count, the
+    // per-doc sizes, and BOTH sides of the intersection self-join — without
+    // this the text scan + shingle explode runs four times per action
     val shAll = docs.select(col("doc_id"), explode(shingles3Col(col("text"))).as("sh"))
+      .localCheckpoint()
     // the HOT set (df > K) is tiny by construction — collect-count it once
     // and exclude via a broadcast anti-join, never shuffling the full
     // shingle table against the (huge) kept set

@@ -95,7 +95,7 @@ class DedupPipelineSpec extends AnyFunSuite {
 
   test("shared-span pairs: hot-window cap drops boilerplate candidates") {
     import spark.implicits._
-    val boiler = "x" * 60 // 21 distinct... actually 1 distinct 40-window
+    val boiler = "x" * 60 // one distinct 40-char window, present in all 5 docs
     val rows = (0 until 5).map(i => (s"d$i", s"doc $i unique part $i $boiler"))
       .toDF("id", "text")
     // every pair shares the boilerplate windows; cap 3 < df 5 drops them all
