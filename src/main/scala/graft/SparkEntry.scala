@@ -202,7 +202,18 @@ object SparkEntry {
           (col("hit").cast("double") / col("total")).as("recall"))
     }),
     "q26_cfg_simhash" -> ((s, _) => {
+      // A1 fold, now ORACLE-CHECKED: the occurrence/weight-resolved feature
+      // stream (the exact input simhash128 folds) is dumped, and the DuckDB
+      // side re-derives the whole fold — per-bit ±weight accumulate, the
+      // `>= 0` tie rule, 64-bit word packing, hex format — with pure SQL
+      // bit arithmetic. Featurization itself stays golden-pinned by
+      // CfgParitySpec (bit-exact vs the reference's published hash).
       import s.implicits._
+      val feats = graft.core.SimHash.resolvedFeatures(
+        graft.cfg.CfgFeaturizer.features(Fixtures.fiveNodeCfg()),
+        graft.core.SimHashConfig())
+      OracleDump.dump("q26_feats",
+        feats.toDF("feature_hi", "feature_lo", "weight"))
       val (hi, lo) = Fixtures.fiveNodeCfgSimHash()
       Seq(("five_node_cfg", f"$hi%016x$lo%016x")).toDF("name", "simhash_hex")
     }),
@@ -240,9 +251,18 @@ object SparkEntry {
         .orderBy("cos_bucket")
     }),
     "q28_cfg_json_scan" -> ((s, _) => {
+      // S2 scan, now ORACLE-CHECKED: the raw JSON line is dumped so DuckDB
+      // independently re-parses it (node/edge counts, branching out-degree,
+      // the min-size filter), and the resolved feature table lets it
+      // re-derive simhash_hex exactly as in q26. Edge endpoints implicitly
+      // add nodes and parallel edges count separately — both sides model
+      // the reference's AddNode/AddEdge semantics (flowgraph.cpp:40-47).
       import s.implicits._
-      graft.cfg.CfgSparkOps.fromJson(
-        Seq(Fixtures.diamondCfgJson).toDF("value")).orderBy("name")
+      val raw = OracleDump.dump("q28_raw",
+        Seq(Fixtures.diamondCfgJson).toDF("value"))
+      OracleDump.dump("q28_feats",
+        graft.cfg.CfgSparkOps.featureTableFromJson(raw))
+      graft.cfg.CfgSparkOps.fromJson(raw).orderBy("name")
     }),
     // ---- trainer + retrieval-quality harness ----
     "q29_train_eval" -> ((s, dir) => {
@@ -822,6 +842,72 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN p.a IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / count(*)
         |    AS recall
         |FROM t LEFT JOIN p ON t.a = p.a AND t.b = p.b""".stripMargin,
+    "q26_cfg_simhash" ->
+      // Re-derives the ENTIRE SimHash fold from the dumped resolved-feature
+      // stream: per-bit ±weight accumulate over both 64-bit words, the
+      // reference's `>= 0 -> 1` tie rule (functionsimhash.cpp:46), word
+      // packing, and the reference tools' `%016x%016x` hex format. Safe
+      // against float-reorder: CfgParitySpec pins min |accumulator| of this
+      // fixture far above summation-order error.
+      s"""WITH f AS (SELECT * FROM read_parquet('${OracleDump.glob("q26_feats")}')),
+        |bits AS (SELECT i::INT AS i FROM generate_series(0, 63) t(i)),
+        |acc AS (SELECT b.i,
+        |  SUM(CASE WHEN ((f.feature_hi >> b.i) & 1) != 0
+        |      THEN f.weight ELSE -f.weight END) AS ah,
+        |  SUM(CASE WHEN ((f.feature_lo >> b.i) & 1) != 0
+        |      THEN f.weight ELSE -f.weight END) AS al
+        | FROM f CROSS JOIN bits b GROUP BY b.i),
+        |words AS (SELECT
+        |  SUM(CASE WHEN ah >= 0 THEN (1::HUGEINT << i) ELSE 0::HUGEINT END) AS hi_u,
+        |  SUM(CASE WHEN al >= 0 THEN (1::HUGEINT << i) ELSE 0::HUGEINT END) AS lo_u
+        | FROM acc)
+        |SELECT 'five_node_cfg' AS name,
+        |  lower(lpad(to_hex(hi_u::UBIGINT), 16, '0') ||
+        |        lpad(to_hex(lo_u::UBIGINT), 16, '0')) AS simhash_hex
+        |FROM words""".stripMargin,
+    "q28_cfg_json_scan" ->
+      // Independent re-parse of the dumped raw JSON (DuckDB's own JSON
+      // reader, not Spark's): nodes = distinct(addresses ∪ edge endpoints)
+      // (AddEdge adds both nodes, flowgraph.cpp:40-47), branching = sources
+      // with >= 2 out-edge ENTRIES (parallel edges count), min-size filter
+      // F1 (branching > 5, addfunctionstoindex.cpp:103-111); simhash_hex
+      // re-derived from the resolved feature table as in q26.
+      s"""WITH j AS (SELECT value::JSON AS g
+        |  FROM read_parquet('${OracleDump.glob("q28_raw")}')),
+        |named AS (SELECT coalesce(json_extract_string(g, '$$.name'), '') AS name, g FROM j),
+        |edge_rows AS (SELECT name,
+        |    json_extract(e, '$$.source')::BIGINT AS src,
+        |    json_extract(e, '$$.destination')::BIGINT AS dst
+        |  FROM (SELECT name, unnest(json_extract(g, '$$.edges')::JSON[]) AS e FROM named)),
+        |node_addrs AS (SELECT DISTINCT name, addr FROM (
+        |  SELECT name, json_extract(n, '$$.address')::BIGINT AS addr
+        |    FROM (SELECT name, unnest(json_extract(g, '$$.nodes')::JSON[]) AS n FROM named)
+        |  UNION ALL SELECT name, src FROM edge_rows
+        |  UNION ALL SELECT name, dst FROM edge_rows)),
+        |counts AS (SELECT name, count(*) AS n_nodes FROM node_addrs GROUP BY name),
+        |branching AS (SELECT name, count(*) AS branching_nodes
+        |  FROM (SELECT name, src FROM edge_rows GROUP BY name, src HAVING count(*) >= 2)
+        |  GROUP BY name),
+        |f AS (SELECT * FROM read_parquet('${OracleDump.glob("q28_feats")}')),
+        |bits AS (SELECT i::INT AS i FROM generate_series(0, 63) t(i)),
+        |acc AS (SELECT f.name, b.i,
+        |  SUM(CASE WHEN ((f.feature_hi >> b.i) & 1) != 0
+        |      THEN f.weight ELSE -f.weight END) AS ah,
+        |  SUM(CASE WHEN ((f.feature_lo >> b.i) & 1) != 0
+        |      THEN f.weight ELSE -f.weight END) AS al
+        | FROM f CROSS JOIN bits b GROUP BY f.name, b.i),
+        |words AS (SELECT name,
+        |  SUM(CASE WHEN ah >= 0 THEN (1::HUGEINT << i) ELSE 0::HUGEINT END) AS hi_u,
+        |  SUM(CASE WHEN al >= 0 THEN (1::HUGEINT << i) ELSE 0::HUGEINT END) AS lo_u
+        | FROM acc GROUP BY name)
+        |SELECT c.name, c.n_nodes,
+        |  coalesce(br.branching_nodes, 0) AS branching_nodes,
+        |  coalesce(br.branching_nodes, 0) > 5 AS passes_min_size,
+        |  lower(lpad(to_hex(w.hi_u::UBIGINT), 16, '0') ||
+        |        lpad(to_hex(w.lo_u::UBIGINT), 16, '0')) AS simhash_hex
+        |FROM counts c LEFT JOIN branching br USING (name)
+        |  JOIN words w USING (name)
+        |ORDER BY c.name""".stripMargin,
     "q27_cos_histogram" ->
       """WITH e0 AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v,
         |  row_number() OVER (PARTITION BY label ORDER BY vec_id) AS rn

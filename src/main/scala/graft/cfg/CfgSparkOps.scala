@@ -60,6 +60,26 @@ object CfgSparkOps {
         col("r._4").as("simhash_hex"))
   }
 
+  /** Occurrence/weight-resolved feature table of each JSON CFG — the oracle
+    * evidence for `fromJson`'s SimHash half: same `from_json` parse, same
+    * featurizer, same `SimHash.resolvedFeatures` resolution the fold
+    * consumes, so a SQL engine can re-derive `simhash_hex` from this table
+    * with pure bit arithmetic (per-bit ±weight accumulate, `>= 0` rule). */
+  def featureTableFromJson(jsonLines: DataFrame): DataFrame = {
+    val featUdf = udf((name: String, nodes: Seq[Row], edges: Seq[Row]) => {
+      val g = toCfg(nodes, edges)
+      SimHash.resolvedFeatures(CfgFeaturizer.features(g), SimHashConfig())
+        .map { case (h0, h1, w) =>
+          (if (name == null) "" else name, h0, h1, w) }
+    })
+    jsonLines
+      .select(from_json(col("value"), cfgJsonSchema).as("g"))
+      .select(explode(
+        featUdf(col("g.name"), col("g.nodes"), col("g.edges"))).as("r"))
+      .select(col("r._1").as("name"), col("r._2").as("feature_hi"),
+        col("r._3").as("feature_lo"), col("r._4").as("weight"))
+  }
+
   /** K3 — DOT graph sink (`Flowgraph::WriteDot`, `flowgraph.cpp:63-74`;
     * tool `tools/dotgraphs.cpp`): per CFG, `digraph G` with one
     * `blk_<hex> -> blk_<hex>;` line per edge, sources in ascending address

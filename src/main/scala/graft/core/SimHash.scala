@@ -72,6 +72,22 @@ object SimHash {
     */
   def simhash128(features: Iterable[Feat], cfg: SimHashConfig): (Long, Long) = {
     val acc = new Array[Double](128)
+    resolvedFeatures(features, cfg).foreach { case (h0, h1, w) =>
+      addWeights(h0, h1, w, acc)
+    }
+    floatsToBits(acc)
+  }
+
+  /** The occurrence/weight-resolution half of [[simhash128]], exposed so the
+    * resolved `(hash_hi, hash_lo, weight)` stream can be dumped as oracle
+    * evidence: the fold below it (per-bit ±w accumulate, `>= 0` tie rule,
+    * hex packing) is pure arithmetic a SQL engine can re-derive from this
+    * table, which turns the "kernel fixture" queries into relationally
+    * checked ones. `simhash128` folds exactly this stream, so evidence and
+    * engine cannot drift. */
+  def resolvedFeatures(features: Iterable[Feat],
+      cfg: SimHashConfig): Seq[(Long, Long, Double)] = {
+    val out = Seq.newBuilder[(Long, Long, Double)]
     val cardinalities = mutable.HashMap.empty[Long, Long]
     val it = features.iterator
     while (it.hasNext) {
@@ -82,10 +98,10 @@ object SimHash {
         cardinalities.update(id0, occ + 1)
         val (h0, h1) = if (occ == 0) f.hash128(0) else f.hash128(occ)
         val w = cfg.weights.getOrElse(h0, cfg.classWeights(f.weightClass))
-        addWeights(h0, h1, w, acc)
+        out += ((h0, h1, w))
       }
     }
-    floatsToBits(acc)
+    out.result()
   }
 
   /** Fold precomputed 128-bit feature hashes with a weight map — the

@@ -93,4 +93,30 @@ class CfgParitySpec extends AnyFunSuite {
     val b = Fixtures.fiveNodeCfgSimHash()
     assert(a === b)
   }
+
+  test("resolvedFeatures: fold of the dumped stream IS simhash128, and " +
+      "every accumulator is far from the >=0 tie (oracle reorder-safe)") {
+    // The q26/q28 DuckDB oracles re-derive the fold from the dumped
+    // (hash_hi, hash_lo, weight) stream, summing in an order WE don't
+    // control. Both facts below make that safe: (1) folding the resolved
+    // stream reproduces simhash128 bit-exactly; (2) the fixtures' per-bit
+    // accumulators sit >= 0.05 away from zero, orders of magnitude above
+    // any summation-order rounding for a few dozen terms (~1e-15).
+    for (g <- Seq(Fixtures.fiveNodeCfg(), Fixtures.diamondCfg())) {
+      val cfg = SimHashConfig()
+      val resolved = SimHash.resolvedFeatures(CfgFeaturizer.features(g), cfg)
+      val acc = new Array[Double](128)
+      resolved.foreach { case (h0, h1, w) =>
+        var i = 0
+        while (i < 64) {
+          if (((h0 >>> i) & 1L) != 0L) acc(i) += w else acc(i) -= w
+          if (((h1 >>> i) & 1L) != 0L) acc(64 + i) += w else acc(64 + i) -= w
+          i += 1
+        }
+      }
+      assert(SimHash.floatsToBits(acc) ===
+        SimHash.simhash128(CfgFeaturizer.features(g), cfg))
+      assert(acc.map(math.abs).min >= 0.05)
+    }
+  }
 }
