@@ -118,17 +118,25 @@ object TextOps {
     // this the text scan + shingle explode runs four times per action
     val shAll = docs.select(col("doc_id"), explode(shingles3Col(col("text"))).as("sh"))
       .localCheckpoint()
-    // the HOT set (df > K) is tiny by construction — collect-count it once
-    // and exclude via a broadcast anti-join, never shuffling the full
-    // shingle table against the (huge) kept set
+    // the HOT set (df > K) is tiny by construction — collect it ONCE (one
+    // aggregation job; `count` + a later `broadcast(hot)` would run the
+    // same groupBy twice) and exclude via a local-relation broadcast
+    // anti-join, never shuffling the full shingle table against the
+    // (huge) kept set; no hot keys -> no join at all
     val hot = shAll.groupBy("sh").agg(count(lit(1)).as("df"))
       .filter(col("df") > maxShingleDf).select("sh")
-    val nDropped = hot.count()
-    if (nDropped > 0)
+    val hotRows = hot.collect()
+    if (hotRows.nonEmpty)
       org.slf4j.LoggerFactory.getLogger(getClass).warn(
-        s"ngramJaccardPairs: dropped $nDropped shingles with df > " +
+        s"ngramJaccardPairs: dropped ${hotRows.length} shingles with df > " +
           s"$maxShingleDf (hot-key guard); Jaccard is over the capped universe")
-    val sh = shAll.join(broadcast(hot), Seq("sh"), "left_anti")
+    val sh =
+      if (hotRows.isEmpty) shAll
+      else {
+        import scala.jdk.CollectionConverters._
+        shAll.join(broadcast(docs.sparkSession.createDataFrame(
+          hotRows.toList.asJava, hot.schema)), Seq("sh"), "left_anti")
+      }
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val inter = sh.select(col("doc_id").as("a"), col("sh"))
       .join(sh.select(col("doc_id").as("b"), col("sh")), "sh")

@@ -100,15 +100,24 @@ object TieredDedup {
 
   /** Transitive closure with min-id canonicals over long-keyed vertices.
     * ConnectedComponents is string-keyed (image ids) and its min-label
-    * contract is lexicographic, so longs are zero-padded to a fixed width
-    * — order-preserving for any non-negative id — and unpadded after. */
+    * contract is lexicographic, so longs get a sign-aware fixed-width
+    * encoding that is order-preserving over the WHOLE long range (plain
+    * zero-padding inverts the order of negative ids: "-0…1" < "-0…2"
+    * lexicographically but -1 > -2): negatives are biased into [0, 2^63)
+    * and prefixed "0", non-negatives prefixed "1", then decoded after. */
   private def components(vertices: DataFrame, edges: DataFrame): DataFrame = {
     val spark = vertices.sparkSession
-    def pad(c: org.apache.spark.sql.Column) = format_string("%019d", c)
+    def pad(c: org.apache.spark.sql.Column) =
+      when(c >= 0, concat(lit("1"), format_string("%019d", c)))
+        .otherwise(concat(lit("0"),
+          format_string("%019d", c - lit(Long.MinValue))))
+    def unpad(c: org.apache.spark.sql.Column) =
+      when(substring(c, 1, 1) === "1", substring(c, 2, 19).cast("long"))
+        .otherwise(substring(c, 2, 19).cast("long") + lit(Long.MinValue))
     val labels = ConnectedComponents.run(spark,
       edges.select(pad(col("a")).as("a"), pad(col("b")).as("b")),
       vertices.select(pad(col("doc_id")).as("id")))
-    labels.select(col("id").cast("long").as("doc_id"),
-      col("cluster_id").cast("long").as("canonical_id"))
+    labels.select(unpad(col("id")).as("doc_id"),
+      unpad(col("cluster_id")).as("canonical_id"))
   }
 }

@@ -97,14 +97,24 @@ object SubstringDup {
     // recomputing the explode
     val wins = rows.select(col("id"), explode(winUdf(col("text"))).as("k"))
       .localCheckpoint()
+    // collect the (tiny by construction) hot set ONCE — `count` + a later
+    // `broadcast(hot)` would run the same groupBy twice per action — and
+    // skip the anti-join entirely when nothing is hot
     val hot = wins.groupBy("k").agg(count(lit(1)).as("df"))
       .filter(col("df") > maxWindowDf).select("k")
-    val nDropped = hot.count()
-    if (nDropped > 0)
+    val hotRows = hot.collect()
+    if (hotRows.nonEmpty)
       org.slf4j.LoggerFactory.getLogger(getClass).warn(
-        s"sharedSpanPairs: dropped $nDropped windows with df > $maxWindowDf " +
-          "(hot-key guard); candidate pairs are over the capped universe")
-    val kept = wins.join(broadcast(hot), Seq("k"), "left_anti")
+        s"sharedSpanPairs: dropped ${hotRows.length} windows with df > " +
+          s"$maxWindowDf (hot-key guard); candidate pairs are over the " +
+          "capped universe")
+    val kept =
+      if (hotRows.isEmpty) wins
+      else {
+        import scala.jdk.CollectionConverters._
+        wins.join(broadcast(spark.createDataFrame(
+          hotRows.toList.asJava, hot.schema)), Seq("k"), "left_anti")
+      }
     val cands = kept.select(col("id").as("a"), col("k"))
       .join(kept.select(col("id").as("b"), col("k")), "k")
       .filter(col("a") < col("b"))

@@ -298,9 +298,22 @@ object StreamingDedup {
     * a function of `stateP`; pruning under a different modulus silently
     * skips partitions holding relevant rows, so a mismatch is an error, not
     * a degradation. */
+  private def resizePendingMarker(stateDir: Path): Path =
+    new Path(new Path(stateDir, "meta"), "resize_pending")
+
   private def checkStateP(fs: FileSystem, stateDir: Path, stateP: Int): Unit = {
     val metaDir = new Path(stateDir, "meta")
     val f = new Path(metaDir, "state_p")
+    // an interrupted offline resize may have rewritten SOME tables' bases
+    // under the new modulus while meta/state_p still holds the old one —
+    // pruning those bases with old-modulus touched sets would silently
+    // skip partitions holding real duplicates, so refuse to ingest until
+    // the resize is re-run to completion
+    require(!fs.exists(resizePendingMarker(stateDir)),
+      s"a stateP resize of $stateDir was interrupted mid-rewrite (meta/" +
+        "resize_pending exists): some bases may already use the new " +
+        "modulus. Re-run StreamingDedup.resizeStateP (StreamJob `resize` " +
+        "mode) to completion before ingesting — it is idempotent.")
     if (fs.exists(f)) {
       val in = fs.open(f)
       val persisted = try scala.io.Source.fromInputStream(in).mkString.trim.toInt
@@ -314,6 +327,27 @@ object StreamingDedup {
           "rewrites every table's base under the new modulus and updates " +
           "meta/state_p atomically w.r.t. the reader rule.")
     } else {
+      // adopt this run's stateP only for a FRESH state dir: pre-existing
+      // base/batch dirs without a persisted modulus (state written by a
+      // pre-meta version) were laid out under an unknown stateP, and
+      // adopting blindly would mis-prune exactly like the mismatch above
+      val preexisting = tableSpecs.map(_._1).exists { name =>
+        val t = new Path(stateDir, name)
+        fs.exists(t) && fs.listStatus(t).exists { st =>
+          st.isDirectory && (st.getPath.getName match {
+            case BaseRe(_) => true
+            case BatchRe(_) => true
+            case _ => false
+          })
+        }
+      }
+      require(!preexisting,
+        s"state at $stateDir has base/batch dirs but no persisted " +
+          "meta/state_p (written by a pre-meta version). Refusing to " +
+          s"adopt stateP=$stateP blindly — if it differs from the value " +
+          "the state was written with, probes would silently mis-prune. " +
+          "Write the ORIGINAL partition count to meta/state_p, then " +
+          "restart (and resize offline if a different value is wanted).")
       if (!fs.exists(metaDir)) fs.mkdirs(metaDir)
       val out = fs.create(f, true)
       try out.write(s"$stateP\n".getBytes("UTF-8")) finally out.close()
@@ -508,10 +542,22 @@ object StreamingDedup {
         }
       }
     }
-    // commit markers may only be dropped once NO table still needs their
-    // batch dirs: min over the base floors of tables that EXIST (a table
-    // never written — e.g. metrics with metrics=false — must not pin the
-    // floor at -inf forever and leak one marker per batch)
+    val staleMarkers =
+      staleCommitMarkers(spark, stateDir, tables).map(_.toString)
+    writeLedger(fs, root, (consumed ++ swept ++ staleMarkers).distinct)
+  }
+
+  /** Commit markers safe to drop: every batch at or below the MIN base
+    * floor of the tables that EXIST is folded into every table's base, so
+    * no reader needs its marker. A table never written — e.g. metrics with
+    * metrics=false — must not pin the floor at -inf forever and leak one
+    * marker per batch. Shared by streaming compaction (which defers the
+    * deletes a cycle) and offline resize (which deletes immediately) so
+    * the retention rule can never diverge between them. */
+  private def staleCommitMarkers(spark: SparkSession, stateDir: String,
+      tables: Seq[(String, StructType, Option[Seq[Column]], Seq[Column])])
+      : Seq[Path] = {
+    val (fs, root) = fileSystem(spark, stateDir)
     val floors = tables.flatMap { case (name, _, _, _) =>
       val (fsT, t) = fileSystem(spark, s"$stateDir/$name")
       if (!fsT.exists(t)) None
@@ -524,13 +570,11 @@ object StreamingDedup {
     }
     val safeFloor = if (floors.isEmpty) Long.MinValue else floors.min
     val commits = new Path(root, "commits")
-    val staleMarkers =
-      if (!fs.exists(commits)) Nil
-      else fs.listStatus(commits).toSeq.map(_.getPath).filter(_.getName match {
-        case BatchRe(id) => id.toLong <= safeFloor
-        case _ => false
-      }).map(_.toString)
-    writeLedger(fs, root, (consumed ++ swept ++ staleMarkers).distinct)
+    if (!fs.exists(commits)) Nil
+    else fs.listStatus(commits).toSeq.map(_.getPath).filter(_.getName match {
+      case BatchRe(id) => id.toLong <= safeFloor
+      case _ => false
+    })
   }
 
   /** Recommended state partition count for a given base size: enough
@@ -878,9 +922,14 @@ object StreamingDedup {
     * (a crash between the renames is healed forward from the `_done` tmp
     * by the next compactTable on that table), the new base subsumes every
     * batch dir (so lingering dirs stay invisible), and `meta/state_p` is
-    * updated LAST — a crash anywhere before that leaves the old modulus
-    * in force and every table readable (a base already rewritten under
-    * `newP` is re-rewritten on retry). */
+    * updated LAST. Every table stays READABLE through a crash, but a
+    * crash mid-rewrite leaves a MIX of old- and new-modulus bases behind
+    * `meta/state_p`'s old value — so a `meta/resize_pending` marker
+    * brackets the whole operation: written before the first rewrite,
+    * removed after the meta update, and `checkStateP` refuses to start an
+    * ingesting query while it exists. The only way forward after a crash
+    * is re-running this method, which force-rewrites every base under
+    * `newP` regardless of the modulus a crashed attempt left it in. */
   def resizeStateP(spark: SparkSession, stateDir: String, newP: Int): Unit = {
     require(newP > 0, s"newP must be positive, got $newP")
     val (fs, root) = fileSystem(spark, stateDir)
@@ -890,7 +939,19 @@ object StreamingDedup {
     val in = fs.open(metaF)
     val oldP = try scala.io.Source.fromInputStream(in).mkString.trim.toInt
     finally in.close()
-    if (oldP == newP) return
+    // resume/crash protocol: the pending marker is written BEFORE the
+    // first base rewrite and removed only after meta/state_p is updated.
+    // While it exists, `checkStateP` refuses to ingest (bases may be a
+    // MIX of old- and new-modulus layouts) and the only way forward is
+    // re-running this method, which force-rewrites every base under
+    // `newP` regardless of what modulus a crashed attempt left it in.
+    // oldP == newP with no marker is a completed no-op; WITH a marker it
+    // must still rewrite (the crashed attempt may have targeted a
+    // different modulus than meta now claims).
+    val pending = resizePendingMarker(root)
+    if (oldP == newP && !fs.exists(pending)) return
+    val pOut = fs.create(pending, true)
+    try pOut.write(s"$newP\n".getBytes("UTF-8")) finally pOut.close()
     // the previous deferred-deletion cycle is due by the offline precondition
     readLedger(fs, root).foreach { p =>
       val path = new Path(p)
@@ -907,27 +968,13 @@ object StreamingDedup {
       if (fs.exists(path)) fs.delete(path, true)
     }
     // every committed batch is now folded into some table's base, so every
-    // marker at or below the min base floor is stale; tables never written
-    // (e.g. metrics with metrics=false) must not pin the floor at -inf
-    val floors = tableSpecs.flatMap { case (name, _, _, _) =>
-      val (fsT, t) = fileSystem(spark, s"$stateDir/$name")
-      if (!fsT.exists(t)) None
-      else Some(fsT.listStatus(t).toSeq.filter(_.isDirectory).flatMap {
-        st => st.getPath.getName match {
-          case BaseRe(id) if isCommitted(fsT, st.getPath) => Some(id.toLong)
-          case _ => None
-        }
-      }.maxOption.getOrElse(Long.MinValue))
-    }
-    val safeFloor = if (floors.isEmpty) Long.MinValue else floors.min
-    val commits = new Path(root, "commits")
-    if (fs.exists(commits))
-      fs.listStatus(commits).toSeq.map(_.getPath).filter(_.getName match {
-        case BatchRe(id) => id.toLong <= safeFloor
-        case _ => false
-      }).foreach(p => fs.delete(p, false))
+    // marker at or below the min base floor is stale (offline: safe to
+    // delete immediately, no deferral cycle needed)
+    staleCommitMarkers(spark, stateDir, tableSpecs)
+      .foreach(p => fs.delete(p, false))
     val out = fs.create(metaF, true)
     try out.write(s"$newP\n".getBytes("UTF-8")) finally out.close()
+    fs.delete(pending, false)
     println(s"StreamingDedup: resized $stateDir stateP $oldP -> $newP " +
       s"(${consumed.size} consumed dirs removed)")
   }
@@ -978,9 +1025,10 @@ object StreamingDedup {
     *    to new arrivals + touched components, never to stream history, and
     *    it is usually small enough to take ConnectedComponents' local
     *    union-find path outright.
-    *  - The snapshot id is the max batch id committed ACROSS tables — the
-    *    global marker means sigs and pairs always agree on that set, so a
-    *    snapshot can never cap in a batch whose sig rows are missing.
+    *  - The snapshot id is the max batch id committed via the CENTRAL
+    *    per-batch marker (all tables at once), so a snapshot can never cap
+    *    in a batch whose sig rows are missing — not even a torn LEGACY
+    *    batch whose per-dir markers covered only some tables.
     *  - If compaction has folded batches beyond W into a base (the label
     *    snapshot lagged more than `compactEvery` batches), per-batch deltas
     *    are no longer addressable and the step falls back to one full
@@ -1019,8 +1067,16 @@ object StreamingDedup {
     })
     val baseFloor = (baseIdOf(sigC).toSeq ++ baseIdOf(pairC).toSeq)
       .maxOption.getOrElse(Long.MinValue)
-    val maxBatch = ((sigC.batches ++ pairC.batches).map(_._1) :+ baseFloor)
-      .max
+    // the snapshot id advances only over batches committed via the CENTRAL
+    // per-batch marker (all tables at once). Legacy batches admitted by
+    // their per-dir _done markers still contribute edges/ids below, but a
+    // TORN legacy batch (pairs marked, sigs not — a crash under the old
+    // per-table protocol) must not cap the snapshot: `upto_<id>` at such
+    // an id would make later incremental runs (`> w` filter) permanently
+    // skip the batch's sig rows once they finally commit.
+    val centralIds = committedBatchIds(fsS, commitsDir(sigT))
+    val maxBatch = ((sigC.batches ++ pairC.batches).map(_._1)
+      .filter(centralIds.contains) :+ baseFloor).max
 
     def writeSnapshot(labels: DataFrame, upto: Long): DataFrame = {
       val dir = new Path(lt, s"upto_$upto")

@@ -129,6 +129,26 @@ class OpsSpec extends AnyFunSuite {
     assert(semIds.intersect(dropped12).isEmpty)
   }
 
+  test("tiered dedup: negative doc_ids canonicalize to the true numeric minimum") {
+    import spark.implicits._
+    // the internal string encoding must be order-preserving over the WHOLE
+    // long range — plain zero-padding inverts negative order ("-0…1" <
+    // "-0…2" lexicographically but -1 > -2), silently electing the wrong
+    // canonical. Mixed-sign and all-negative components both exercised.
+    val t0 = "the quick brown fox jumps over the lazy dog today"
+    val t1 = "colorless green ideas sleep furiously in the garden tonight"
+    val docs = Seq(
+      -1L -> t0, -2L -> t0, 3L -> t0, // mixed-sign component, min = -2
+      -5L -> t1, -4L -> t1) // all-negative component, min = -5
+      .toDF("doc_id", "text")
+    val embT = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+    val v = TieredDedup.run(docs, embT).verdicts.collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getLong(2)))).toMap
+    assert(v === Map(
+      -2L -> ((0, -2L)), -1L -> ((1, -2L)), 3L -> ((1, -2L)),
+      -5L -> ((0, -5L)), -4L -> ((1, -5L))))
+  }
+
   test("tiered dedup on the sf tables: partition of all docs, tiers consistent with single-tier ops") {
     val res = TieredDedup.run(docs, emb)
     val v = res.verdicts.cache()

@@ -354,6 +354,101 @@ class StreamingDedupSpec extends AnyFunSuite {
       s"missed ${truthPairs.diff(resizedPairs).size} truth pairs after resize")
   }
 
+  test("interrupted resize refuses ingest until re-run; re-run completes and clears the marker") {
+    val cfg = DedupConfig()
+    val root = Files.createTempDirectory("graft-stream-resize-crash").toString
+    val state = s"$root/state"
+    val (images, _) = SyntheticCorpus.generate(spark,
+      nGroups = 4, variantsPerGroup = 2, nDistractors = 4)
+    val rows = images.localCheckpoint()
+    StreamingDedup.processBatch(spark, rows, state, cfg,
+      batchId = 0L, stateP = 8, compactEvery = 1)
+    // simulate a crash mid-resize: the pending marker exists but
+    // meta/state_p still holds the old modulus — SOME bases may already be
+    // laid out under the new one, so ingesting at either modulus could
+    // silently mis-prune
+    val pending = new java.io.File(s"$state/meta/resize_pending")
+    assert(pending.createNewFile())
+    val e = intercept[IllegalArgumentException] {
+      StreamingDedup.processBatch(spark, rows, state, cfg,
+        batchId = 1L, stateP = 8)
+    }
+    assert(e.getMessage.contains("resize"))
+    // the advertised recovery: re-run the resize to completion — it force-
+    // rewrites every base under the target modulus whatever a crashed
+    // attempt left behind, then clears the marker
+    StreamingDedup.resizeStateP(spark, state, 32)
+    assert(!pending.exists())
+    StreamingDedup.processBatch(spark, rows, state, cfg,
+      batchId = 1L, stateP = 32)
+  }
+
+  test("pre-meta state (base dirs, no persisted stateP) is refused, not blindly adopted") {
+    val cfg = DedupConfig()
+    val root = Files.createTempDirectory("graft-stream-premeta").toString
+    val state = s"$root/state"
+    val (images, _) = SyntheticCorpus.generate(spark,
+      nGroups = 4, variantsPerGroup = 2, nDistractors = 4)
+    val rows = images.localCheckpoint()
+    StreamingDedup.processBatch(spark, rows, state, cfg,
+      batchId = 0L, stateP = 16, compactEvery = 1)
+    // state written by a version that did not persist the modulus: the
+    // bases' p= layout is a function of an UNKNOWN stateP, so adopting
+    // this run's value would mis-prune exactly like a mismatch
+    val meta = new java.io.File(s"$state/meta/state_p")
+    assert(meta.delete())
+    val e = intercept[IllegalArgumentException] {
+      StreamingDedup.processBatch(spark, rows, state, cfg,
+        batchId = 1L, stateP = 32)
+    }
+    assert(e.getMessage.contains("meta/state_p"))
+    // the documented operator fix: restore the original value, then ingest
+    java.nio.file.Files.write(meta.toPath, "16\n".getBytes("UTF-8"))
+    StreamingDedup.processBatch(spark, rows, state, cfg,
+      batchId = 1L, stateP = 16)
+  }
+
+  test("torn legacy batch (per-dir markers on some tables) cannot cap the label snapshot") {
+    val cfg = DedupConfig()
+    val root = Files.createTempDirectory("graft-stream-torn").toString
+    val state = s"$root/state"
+    val (images, _) = SyntheticCorpus.generate(spark,
+      nGroups = 6, variantsPerGroup = 2, nDistractors = 6)
+    val rows = images.localCheckpoint()
+    val ids = rows.select("image_id").collect().map(_.getString(0)).sorted
+    val chunks = ids.grouped(ids.length / 3 + 1).toSeq
+    def ingest(chunk: Seq[String], id: Long): Unit =
+      StreamingDedup.processBatch(spark,
+        rows.filter(col("image_id").isin(chunk: _*)), state, cfg,
+        batchId = id, stateP = 16, compactEvery = 100)
+    ingest(chunks(0), 0L); ingest(chunks(1), 1L)
+    StreamingDedup.clustersIncremental(spark, state)
+    assert(new java.io.File(s"$state/labels/upto_1").isDirectory)
+    ingest(chunks(2), 2L)
+    // rewrite batch 2's commit as a TORN legacy batch: central marker gone,
+    // per-dir _done on pairs only (the pre-unified protocol crashed between
+    // per-table markers) — sigs/batch_2 exists but is uncommitted
+    assert(new java.io.File(s"$state/commits/batch_2").delete())
+    assert(new java.io.File(s"$state/pairs/batch_2/_done").createNewFile())
+    StreamingDedup.clustersIncremental(spark, state)
+    // the snapshot must NOT advance to 2: batch 2's sig rows are not yet
+    // visible, and an upto_2 snapshot would make every later incremental
+    // run (strictly-newer filter) skip them forever once they commit
+    assert(new java.io.File(s"$state/labels/upto_1").isDirectory)
+    assert(!new java.io.File(s"$state/labels/upto_2").exists())
+    // batch 2 commits properly (replay under the unified protocol)
+    assert(new java.io.File(s"$state/commits/batch_2").createNewFile())
+    val labels = StreamingDedup.clustersIncremental(spark, state)
+    val labeled = labels.select("image_id").collect().map(_.getString(0)).toSet
+    assert(ids.toSet.subsetOf(labeled),
+      s"batch-2 ids missing from labels: ${ids.toSet.diff(labeled).size}")
+    // and the incremental result equals the from-scratch recompute
+    val full = StreamingDedup.clustersFromState(spark, state)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(labels.collect().map(r => (r.getString(0), r.getString(1))).toSet
+      === full)
+  }
+
   test("metrics are committed state: batch-atomic with the data tables, bounded by compaction") {
     val cfg = DedupConfig()
     val root = Files.createTempDirectory("graft-stream-metrics").toString
