@@ -36,6 +36,12 @@ final class ParquetTableIO(root: String) extends TableIO {
 
   override def writeStage(df: DataFrame, name: String, configHash: String): Unit = {
     val data = dir(name).resolve("data")
+    // invalidate any PREVIOUS commit before touching its data: the
+    // overwrite below deletes the old part files first, so a crash
+    // mid-rewrite would otherwise leave the old manifest pointing at
+    // torn new-config data, and a later run under the old configHash
+    // would pass the manifest check and silently adopt it
+    Files.deleteIfExists(manifest(name))
     df.write.mode("overwrite").parquet(data.toString)
     val rows = df.sparkSession.read.parquet(data.toString).count()
     val tmp = dir(name).resolve(".MANIFEST.tmp")

@@ -43,6 +43,14 @@ object Bands {
 
   def minhashBands(sketch: Array[Long], nBands: Int, rowsPerBand: Int,
       prefixBits: Int): Array[BandRow] = {
+    // an EMPTY shingle set sketches to all-MaxValue slots — identical for
+    // every empty input, so banding it would collide every captionless
+    // record with every other (estimated Jaccard 1.0 between empty sets)
+    // and silently merge them all into one cluster. No shingles = no
+    // caption evidence = no minhash candidates; such records can still
+    // pair via the pixel-SimHash bands.
+    if (sketch.length == 0 || sketch.forall(_ == Long.MaxValue))
+      return Array.empty
     val keys = MinHash.bandKeys(sketch, nBands, rowsPerBand)
     Array.tabulate(nBands) { b =>
       BandRow(MinhashBandOffset + b, keys(b) >>> (64 - prefixBits), keys(b), 0L)

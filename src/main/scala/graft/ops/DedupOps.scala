@@ -12,11 +12,19 @@ import graft.lsh.Bands
   */
 object DedupOps {
 
-  /** Exact dedup: content hash groupBy; keeper = min id per group. At scale
-    * this is one shuffle on a 64-bit content hash with partial aggregation —
-    * the cheapest dedup tier. */
+  /** Exact dedup: content-hash groupBy; keeper = min id per group. The
+    * shuffle key is the sha-256 DIGEST of the text, not the text itself —
+    * at multi-KB documents grouping by the raw body would move the whole
+    * corpus over the network where 32 bytes per row suffice. sha-256, not
+    * a 64-bit hash: at 10^12 rows a 64-bit key expects thousands of
+    * birthday collisions, each silently merging unrelated documents (same
+    * argument as the image cascade's tier 1). NULL text digests to NULL,
+    * which groups with its own kind — exactly how the oracle's
+    * `GROUP BY text` treats it. */
   def exactDedup(docs: DataFrame): DataFrame =
-    docs.groupBy(col("text"))
+    docs.select(col("doc_id"),
+        sha2(encode(col("text"), "UTF-8"), 256).as("text_sha"))
+      .groupBy(col("text_sha"))
       .agg(min("doc_id").as("keeper_id"), count(lit(1)).as("dup_count"))
       .select("keeper_id", "dup_count")
       .orderBy("keeper_id")
@@ -39,11 +47,22 @@ object DedupOps {
       })
     val withSketch = docs
       .select(col("doc_id"), TextOps.tokensCol(col("text")).as("toks"))
+      // BEFORE the UDFs: docs with < 3 tokens have NO shingles — their
+      // sketches are identical all-MaxValue vectors, so banding them would
+      // (a) collide every short doc with every other (m short docs emit
+      // bands*m^2 join rows, the exact hot-bucket blowup the n-gram path
+      // guards against) and (b) verify unrelated short docs at Jaccard 1.0
+      // between EMPTY sets. No shingles = no lexical evidence = no
+      // candidates (the DuckDB oracle agrees: its Jaccard is NULL on empty
+      // unions, so such pairs never pass its threshold either). NULL text
+      // tokenizes to NULL, which this filter also drops — before the UDFs,
+      // where it would NPE inside sliding().
+      .filter(size(col("toks")) >= 3)
       .withColumn("sh", shingleUdf(col("toks")))
       .withColumn("sketch", sketchUdf(col("sh")))
       .localCheckpoint()
-    val banded = withSketch.select(col("doc_id"),
-      explode(bandUdf(col("sketch"))).as("bk"))
+    val banded = withSketch
+      .select(col("doc_id"), explode(bandUdf(col("sketch"))).as("bk"))
       .select(col("doc_id"), col("bk.band_id"), col("bk.band_key"))
     val cands = banded.select(col("band_id"), col("band_key"), col("doc_id").as("a"))
       .join(banded.select(col("band_id"), col("band_key"), col("doc_id").as("b")),
@@ -87,6 +106,12 @@ object DedupOps {
         graft.pipeline.BandKey(r.band_id, r.band_key)))
     val sigs = docs
       .select(col("doc_id"), TextOps.tokensCol(col("text")).as("toks"))
+      // a doc with < 3 tokens has NO features: the tie rule folds the empty
+      // set to the all-ones hash, identical for every such doc, so banding
+      // them would declare all short docs mutual duplicates at distance 0.
+      // No features = no evidence = no bands (same contract as the minhash
+      // path's empty-shingle exclusion above).
+      .filter(size(col("toks")) >= 3)
       .withColumn("sig", simUdf(col("toks")))
       .select(col("doc_id"), col("sig.sim_hi").as("hi"), col("sig.sim_lo").as("lo"))
       .localCheckpoint()

@@ -119,8 +119,8 @@ object EmbeddingOps {
     * (band join + cos verify) is oracle-checkable from the dumped band
     * table (q22). */
   def lshCosinePairs(emb: DataFrame, minCos: Double, planes: Int = 768,
-      bands: Int = 96, rowsPerBand: Int = 8): DataFrame = {
-    val banded = lshBands(emb, planes, bands, rowsPerBand)
+      bands: Int = 96, rowsPerBand: Int = 8, dims: Int = 64): DataFrame = {
+    val banded = lshBands(emb, planes, bands, rowsPerBand, dims)
     val candidates = banded.select(col("bk"), col("vec_id").as("a"))
       .join(banded.select(col("bk"), col("vec_id").as("b")), "bk")
       .filter(col("a") < col("b"))
@@ -134,12 +134,18 @@ object EmbeddingOps {
     * partition key. Deterministic hyperplanes → reproducible across runs
     * and partitionings. */
   def lshBands(emb: DataFrame, planes: Int = 768, bands: Int = 96,
-      rowsPerBand: Int = 8): DataFrame = {
+      rowsPerBand: Int = 8, dims: Int = 64): DataFrame = {
     require(bands * rowsPerBand <= planes)
     require(rowsPerBand < 56, "band id must fit above the key bits")
-    val dims = 64
     val H = hyperplane(planes, dims)
     val keysUdf = udf((v: Seq[Float]) => {
+      // fail fast, don't truncate: projecting a wider embedding onto the
+      // first `dims` components silently uncorrelates the band keys from
+      // the full-vector cosine the verify step (and the exact baseline)
+      // computes, degrading recall with no error
+      require(v.length == dims,
+        s"embedding dim ${v.length} != hyperplane dims $dims — pass dims=" +
+          s"${v.length} to lshBands/lshCosinePairs")
       val out = new Array[Long](bands)
       var b = 0
       while (b < bands) {
@@ -149,7 +155,7 @@ object EmbeddingOps {
           val p = b * rowsPerBand + r
           var s = 0.0
           var d = 0
-          while (d < dims && d < v.length) { s += H(p)(d) * v(d); d += 1 }
+          while (d < dims) { s += H(p)(d) * v(d); d += 1 }
           key = (key << 1) | (if (s >= 0) 1L else 0L)
           r += 1
         }

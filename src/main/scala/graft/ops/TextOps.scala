@@ -118,25 +118,7 @@ object TextOps {
     // this the text scan + shingle explode runs four times per action
     val shAll = docs.select(col("doc_id"), explode(shingles3Col(col("text"))).as("sh"))
       .localCheckpoint()
-    // the HOT set (df > K) is tiny by construction — collect it ONCE (one
-    // aggregation job; `count` + a later `broadcast(hot)` would run the
-    // same groupBy twice) and exclude via a local-relation broadcast
-    // anti-join, never shuffling the full shingle table against the
-    // (huge) kept set; no hot keys -> no join at all
-    val hot = shAll.groupBy("sh").agg(count(lit(1)).as("df"))
-      .filter(col("df") > maxShingleDf).select("sh")
-    val hotRows = hot.collect()
-    if (hotRows.nonEmpty)
-      org.slf4j.LoggerFactory.getLogger(getClass).warn(
-        s"ngramJaccardPairs: dropped ${hotRows.length} shingles with df > " +
-          s"$maxShingleDf (hot-key guard); Jaccard is over the capped universe")
-    val sh =
-      if (hotRows.isEmpty) shAll
-      else {
-        import scala.jdk.CollectionConverters._
-        shAll.join(broadcast(docs.sparkSession.createDataFrame(
-          hotRows.toList.asJava, hot.schema)), Seq("sh"), "left_anti")
-      }
+    val sh = dropHotKeys(shAll, "sh", maxShingleDf, "ngramJaccardPairs")
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val inter = sh.select(col("doc_id").as("a"), col("sh"))
       .join(sh.select(col("doc_id").as("b"), col("sh")), "sh")
@@ -154,5 +136,31 @@ object TextOps {
       .select(col("a").as("doc_a"), col("b").as("doc_b"),
         round(col("jacc_raw"), 4).as("jacc"))
       .orderBy("doc_a", "doc_b")
+  }
+
+  /** The df-cap hot-key guard shared by every capped candidate generator
+    * (n-gram Jaccard here, shared-span mining in SubstringDup): keys with
+    * document frequency > `maxDf` are excluded and the drop is LOGGED —
+    * no silent truncation. The hot set (df > K) is tiny by construction,
+    * so it is collected ONCE (a `count` plus a later `broadcast(hot)`
+    * would run the same groupBy twice) and excluded via a local-relation
+    * broadcast anti-join, never shuffling the full key table; no hot
+    * keys → no join at all. One implementation so the guard's contract —
+    * which both operators' DuckDB oracles mirror — cannot drift between
+    * them. */
+  private[graft] def dropHotKeys(df: DataFrame, keyCol: String, maxDf: Int,
+      opLabel: String): DataFrame = {
+    val hot = df.groupBy(keyCol).agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxDf).select(keyCol)
+    val hotRows = hot.collect()
+    if (hotRows.isEmpty) df
+    else {
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"$opLabel: dropped ${hotRows.length} keys with df > $maxDf " +
+          "(hot-key guard); candidates are over the capped universe")
+      import scala.jdk.CollectionConverters._
+      df.join(broadcast(df.sparkSession.createDataFrame(
+        hotRows.toList.asJava, hot.schema)), Seq(keyCol), "left_anti")
+    }
   }
 }

@@ -43,12 +43,20 @@ object TieredDedup {
       semPairs: DataFrame) // tier-3 evidence: (vec_a, vec_b, cos)
 
   /** `docs`: (doc_id: long, text: string, ...); `emb`: (vec_id: long,
-    * embedding: array<float>, ...) with vec_id keyed to doc_id.
+    * embedding: array<float>, ...) with vec_id keyed to doc_id; `embDims`
+    * must match the embedding width when `approxSem = true` (the LSH
+    * hyperplanes are built at that dimension and fail fast on mismatch).
     * `approxSem` switches the semantic tier's pair source from the exact
     * O(n²) cosine join (oracle-checkable baseline) to the random-hyperplane
-    * LSH path — the 100×-scale variant (same contract as q22 vs q20). */
+    * LSH path — the 100×-scale variant (same contract as q22 vs q20). The
+    * exact default BROADCASTS the tier-2-survivor embedding table (that is
+    * what makes it exact without an all-pairs shuffle), so it is bounded
+    * by the broadcast limit — beyond a few GB of surviving vectors, set
+    * `approxSem = true`; the default stays exact because it is the
+    * oracle's definition of the tier. */
   def run(docs: DataFrame, emb: DataFrame, minJaccard: Double = 0.5,
-      minCos: Double = 0.4, approxSem: Boolean = false): Result = {
+      minCos: Double = 0.4, approxSem: Boolean = false,
+      embDims: Int = 64): Result = {
     val spark = docs.sparkSession
 
     // ---- tier 1: exact (one shuffle on the text DIGEST, partial agg —
@@ -57,7 +65,10 @@ object TieredDedup {
     // instead of falling out of the join) ----
     val textSha = when(col("text").isNull, lit("nulltext"))
       .otherwise(sha2(encode(col("text"), "UTF-8"), 256))
+    // checkpointed: feeds both the groupBy and the join-back — without it
+    // the sha-256 over every document body runs twice per action
     val keyed = docs.select(col("doc_id"), textSha.as("text_sha"))
+      .localCheckpoint()
     val canon1 = keyed.groupBy(col("text_sha"))
       .agg(min("doc_id").as("canonical_id"))
     val labeled1 = keyed.join(canon1, "text_sha")
@@ -84,7 +95,7 @@ object TieredDedup {
     val embSub = emb.join(surv2.select(col("doc_id").as("vec_id")),
       Seq("vec_id"), "left_semi")
     val semPairs = (if (approxSem)
-      EmbeddingOps.lshCosinePairs(embSub, minCos)
+      EmbeddingOps.lshCosinePairs(embSub, minCos, dims = embDims)
     else EmbeddingOps.cosinePairs(embSub, minCos)).localCheckpoint()
     val lab3 = components(surv2,
       semPairs.select(col("vec_a").as("a"), col("vec_b").as("b")))

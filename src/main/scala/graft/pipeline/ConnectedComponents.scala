@@ -72,6 +72,7 @@ object ConnectedComponents {
 
     if (sym.count() <= localEdgeThreshold) {
       val labels = localUnionFind(spark, sym)
+      unpersistCheckpoint(sym) // collected — nothing references it anymore
       val singletons = vertices.join(labels.select("id"), Seq("id"), "left_anti")
         .select(col("id"), col("id").as("cluster_id"))
       return labels.union(singletons)
@@ -111,6 +112,12 @@ object ConnectedComponents {
             .as("cluster_id"))
         .localCheckpoint()
       val nextFp = labelFingerprint(next)
+      // `next` is eagerly materialized, so the SUPERSEDED label checkpoint
+      // can be released now — without this each round's copy of the label
+      // table stays persisted until a GC lets the ContextCleaner find it,
+      // and a long-lived session running CC repeatedly (streaming batches,
+      // tiered cascades) accumulates O(iterations) copies in block storage
+      unpersistCheckpoint(labels)
       labels = next
       converged = nextFp == fp
       fp = nextFp
@@ -120,11 +127,26 @@ object ConnectedComponents {
       s"connected components did not converge after $maxIters doubling rounds" +
         " (diameter > 2^maxIters is impossible for any physical edge set —" +
         " this indicates a fingerprint collision or a bug)")
+    // the final labels are their own checkpoint; the edge table is done
+    unpersistCheckpoint(sym)
     // singletons (no incident edge) are their own cluster
     val singletons = vertices.join(labels.select("id"), Seq("id"), "left_anti")
       .select(col("id"), col("id").as("cluster_id"))
     labels.union(singletons)
   }
+
+  /** Release a `localCheckpoint`'s persisted RDD explicitly. Dataset
+    * .unpersist does NOT cover checkpoint storage (it only touches the
+    * cache manager), and the ContextCleaner frees it only after a GC
+    * notices the Dataset is unreachable — too lazy for an iterative loop
+    * that supersedes one checkpoint per round. No-op for non-checkpoint
+    * plans. */
+  private def unpersistCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.logical match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false); ()
+      case _ => ()
+    }
 
   /** Driver-local path for small edge sets: classic union-find with path
     * compression + union by rank, then min id per root — exactly the

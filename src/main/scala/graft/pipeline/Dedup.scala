@@ -39,6 +39,15 @@ final case class DedupConfig(
   */
 object Dedup {
 
+  /** Caption normalization as a column, THE one producer of normalized
+    * caption text (null-safe: null → ""). Shared by `signatures`
+    * (caption_norm) and every caption-only consumer (e.g. the tiered
+    * cascade's undecodable-row path), because tier-3 containment joins
+    * compare these strings byte-for-byte — two drifting copies of the
+    * normalizer would silently break those links. */
+  def captionNormCol(c: Column): Column =
+    udf((s: String) => ImageFeaturizer.normalizeCaption(s)).apply(c)
+
   /** Stage 1 — featurize + fold: one decode pass per row, emitting
     * (image_id, caption, sim_hi, sim_lo, minhash). The fold is row-local
     * (SURVEY.md §2.4 A1): a scalar UDF inside a projection, no shuffle.
@@ -47,7 +56,6 @@ object Dedup {
     val fz = cfg.featurize
     val sigUdf = udf((bytes: Array[Byte], caption: String) =>
       ImageFeaturizer.signature(bytes, caption, fz))
-    val normUdf = udf((c: String) => ImageFeaturizer.normalizeCaption(c))
     // decode is CPU-bound per ROW, but scan splits are sized by BYTES
     // (spark.sql.files.maxPartitionBytes): a few hundred MB of compressed
     // images arrive as a handful of splits and starve the executors. Fan a
@@ -59,7 +67,7 @@ object Dedup {
       if (images.rdd.getNumPartitions < target) images.repartition(target * 2)
       else images
     spread
-      .select(col("image_id"), normUdf(col("caption")).as("caption_norm"),
+      .select(col("image_id"), captionNormCol(col("caption")).as("caption_norm"),
         sigUdf(col("bytes"), col("caption")).as("sig"))
       .select(col("image_id"), col("caption_norm"),
         col("sig.sim_hi").as("sim_hi"), col("sig.sim_lo").as("sim_lo"),

@@ -89,32 +89,16 @@ object SubstringDup {
     */
   def sharedSpanPairs(spark: SparkSession, rows: DataFrame, w: Int = 40,
       maxWindowDf: Int = 1000): DataFrame = {
-    val winUdf = udf((s: String) => windowHashes(s, w).distinct)
     // materialize the (hash, id) table once: it feeds the hot-window count
     // AND both sides of the self-join — without this the text scan + window
     // explode runs four times. The table is ids-only (~16 B/row, ~40% of
     // the raw text bytes at w=40), so checkpointing it is far cheaper than
-    // recomputing the explode
-    val wins = rows.select(col("id"), explode(winUdf(col("text"))).as("k"))
+    // recomputing the explode. (Same windowed-hash explode as
+    // `windowTable`, renamed to this operator's key column.)
+    val wins = windowTable(rows, w).select(col("b").as("id"), col("k"))
       .localCheckpoint()
-    // collect the (tiny by construction) hot set ONCE — `count` + a later
-    // `broadcast(hot)` would run the same groupBy twice per action — and
-    // skip the anti-join entirely when nothing is hot
-    val hot = wins.groupBy("k").agg(count(lit(1)).as("df"))
-      .filter(col("df") > maxWindowDf).select("k")
-    val hotRows = hot.collect()
-    if (hotRows.nonEmpty)
-      org.slf4j.LoggerFactory.getLogger(getClass).warn(
-        s"sharedSpanPairs: dropped ${hotRows.length} windows with df > " +
-          s"$maxWindowDf (hot-key guard); candidate pairs are over the " +
-          "capped universe")
-    val kept =
-      if (hotRows.isEmpty) wins
-      else {
-        import scala.jdk.CollectionConverters._
-        wins.join(broadcast(spark.createDataFrame(
-          hotRows.toList.asJava, hot.schema)), Seq("k"), "left_anti")
-      }
+    val kept = graft.ops.TextOps.dropHotKeys(wins, "k", maxWindowDf,
+      "sharedSpanPairs")
     val cands = kept.select(col("id").as("a"), col("k"))
       .join(kept.select(col("id").as("b"), col("k")), "k")
       .filter(col("a") < col("b"))

@@ -72,8 +72,12 @@ object TieredImageDedup {
 
     // ---- tier 1: exact record (one shuffle on the content hash; the
     // heavy bytes column never shuffles — only its digest does) ----
+    // checkpointed: it feeds both the groupBy and the join-back, and
+    // Catalyst does not share subplans across DataFrame branches — without
+    // this the sha-256 over every image's bytes runs twice per action
     val hashed = images.select(col("image_id"),
       recordSha(col("bytes"), col("caption")).as("record_sha"))
+      .localCheckpoint()
     val canon1 = hashed.groupBy("record_sha")
       .agg(min("image_id").as("canonical_id"))
     val labeled1 = hashed.join(canon1, "record_sha")
@@ -85,8 +89,15 @@ object TieredImageDedup {
         .select("image_id"), Seq("image_id"), "left_semi")
 
     // ---- tier 2: perceptual near-dup (the monolithic pipeline's stages
-    // 1-4, minus the substring union) over tier-1 survivors ----
-    val sigs = Dedup.signatures(surv1, cfg).localCheckpoint()
+    // 1-4, minus the substring union) over tier-1 survivors. Null-bytes
+    // survivors (tier 1 deliberately keeps one per (null, caption) group)
+    // CANNOT be decoded, so they skip the pixel tier instead of crashing
+    // the featurize UDF, and rejoin at the caption tier below — their only
+    // evidence channel. ----
+    val decodable = surv1.filter(col("bytes").isNotNull)
+    val nullBytes = surv1.filter(col("bytes").isNull)
+      .select(col("image_id"), col("caption"))
+    val sigs = Dedup.signatures(decodable, cfg).localCheckpoint()
     val cands = Dedup.candidatesMaterialized(Dedup.bands(sigs, cfg), cfg)
     val nearPairs = Dedup.verified(cands, sigs, cfg).distinct()
       .localCheckpoint()
@@ -96,14 +107,19 @@ object TieredImageDedup {
     val surv2 = lab2.filter(col("image_id") === col("canonical_id"))
       .select("image_id")
 
-    // ---- tier 3: exact caption containment over tier-2 survivors; the
-    // normalized captions ride along from the tier-2 signature table so
-    // the raw `bytes` column is never read again ----
+    // ---- tier 3: exact caption containment over tier-2 survivors plus
+    // the undecodable rows; the normalized captions ride along from the
+    // tier-2 signature table so the raw `bytes` column is never read
+    // again ----
+    val nullByteCaps = nullBytes.select(col("image_id").as("id"),
+      Dedup.captionNormCol(col("caption")).as("text"))
     val capRows = sigs.join(surv2, Seq("image_id"), "left_semi")
       .select(col("image_id").as("id"), col("caption_norm").as("text"))
+      .unionByName(nullByteCaps)
     val subPairs = SubstringDup.containedPairs(spark, capRows,
       cfg.substringWindow).localCheckpoint()
-    val lab3 = components(spark, surv2, subPairs)
+    val lab3 = components(spark,
+      surv2.unionByName(nullBytes.select("image_id")), subPairs)
     val t3 = lab3.filter(col("image_id") =!= col("canonical_id"))
       .select(col("image_id"), lit(3).as("tier"), col("canonical_id"))
     val kept = lab3.filter(col("image_id") === col("canonical_id"))

@@ -129,6 +129,27 @@ class OpsSpec extends AnyFunSuite {
     assert(semIds.intersect(dropped12).isEmpty)
   }
 
+  test("docs with < 3 tokens are never near-duplicates (no empty-evidence candidates)") {
+    import spark.implicits._
+    // a shingle-less doc sketches to the all-MaxValue vector (minhash) or
+    // the all-ones hash (simhash tie rule) — identical for EVERY short
+    // doc, so without the empty-evidence exclusion all short docs would
+    // band-collide and verify at Jaccard 1.0 / Hamming 0 against each
+    // other, and m of them would emit bands*m^2 join rows
+    val docs = Seq(
+      1L -> "hello world", 2L -> "goodbye moon", 3L -> "one",
+      4L -> "the quick brown fox jumps over the lazy dog today",
+      5L -> "the quick brown fox jumps over the lazy cat today")
+      .toDF("doc_id", "text")
+    val mh = DedupOps.minhashLshDedup(docs, 0.5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(mh === Set((4L, 5L))) // real near-dups still found
+    val sh = DedupOps.simhashDedup(docs).select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(sh.forall { case (a, b) => a >= 4L && b >= 4L },
+      s"short docs paired by simhash: $sh")
+  }
+
   test("tiered dedup: negative doc_ids canonicalize to the true numeric minimum") {
     import spark.implicits._
     // the internal string encoding must be order-preserving over the WHOLE

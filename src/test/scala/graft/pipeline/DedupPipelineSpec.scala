@@ -53,6 +53,38 @@ class DedupPipelineSpec extends AnyFunSuite {
       s"LSH missed brute-force pairs: $bruteHit/$bruteTotal")
   }
 
+  test("captionless images are not merged by empty caption evidence") {
+    // an empty caption shingles to the empty set, whose minhash sketch is
+    // the same all-MaxValue vector for EVERY captionless image — without
+    // the empty-sketch band exclusion all captionless images band-collide
+    // and verify at estimated Jaccard 1.0, silently collapsing into one
+    // cluster. Pixel-unrelated distractors with blanked captions must stay
+    // singletons; pixel-similar variants must still pair (their evidence
+    // is the SimHash channel, untouched).
+    val cfg = DedupConfig()
+    val (images, truth) = SyntheticCorpus.generate(spark, nGroups = 4,
+      variantsPerGroup = 2, nDistractors = 8)
+    val distractors = images.join(truth.select("image_id"),
+      Seq("image_id"), "left_anti")
+      .select("image_id").collect().map(_.getString(0)).sorted.take(3)
+    val blanked = images.withColumn("caption",
+      when(col("image_id").isin(distractors.toSeq: _*), lit(""))
+        .otherwise(col("caption"))).localCheckpoint()
+    val clusters = Dedup.run(blanked, cfg)
+    val pairs = Dedup.clusterPairs(clusters).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    distractors.foreach { id =>
+      assert(!pairs.exists(p => p._1 == id || p._2 == id),
+        s"captionless distractor $id was merged: ${pairs.filter(p => p._1 == id || p._2 == id)}")
+    }
+    // planted variants still pair through the pixel channel
+    val tl = truth.select(col("group_id"), col("image_id").as("a"))
+    val tr = truth.select(col("group_id"), col("image_id").as("b"))
+    val truthPairs = tl.join(tr, "group_id").filter(col("a") < col("b"))
+      .select("a", "b").collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(truthPairs.subsetOf(pairs))
+  }
+
   test("signatures are identical across parallelism levels (determinism gate)") {
     val cfg = DedupConfig()
     val (images, _) = SyntheticCorpus.generate(spark, 5, 2, 5)

@@ -67,4 +67,34 @@ class TieredImageDedupSpec extends AnyFunSuite {
     all.unpersist()
     ()
   }
+
+  test("null-bytes rows flow through the cascade: tier-1 dedup, tier-3 captions, no decode crash") {
+    import spark.implicits._
+    val cfg = DedupConfig()
+    val (images, _) = SyntheticCorpus.generate(spark, nGroups = 4,
+      variantsPerGroup = 2, nDistractors = 4)
+    // recordSha's contract: null bytes group with their own kind instead
+    // of vanishing — and tier 2 must ROUTE AROUND them (no pixel evidence)
+    // instead of feeding null to the decoder
+    val longCap = "this caption is long enough to exceed the substring window"
+    val nullRows = Seq(
+      graft.images.ImageRow("zz_null_a", null, 0, 0, "none", longCap, 0L),
+      graft.images.ImageRow("zz_null_b", null, 0, 0, "none", longCap, 0L),
+      graft.images.ImageRow("zz_null_c", null, 0, 0, "none",
+        s"prefix text then $longCap and a suffix", 0L),
+      graft.images.ImageRow("zz_null_d", null, 0, 0, "none",
+        "an entirely unrelated short note", 0L)).toDF()
+    val all = images.unionByName(nullRows).localCheckpoint()
+    val v = TieredImageDedup.run(all, cfg).verdicts.collect()
+      .map(r => r.getString(0) -> ((r.getInt(1), r.getString(2)))).toMap
+    // every row got exactly one verdict (nothing crashed, nothing vanished)
+    assert(v.size.toLong === all.count())
+    // identical (null, caption) records collapse at tier 1
+    assert(v("zz_null_b") === ((1, "zz_null_a")))
+    // a null-bytes survivor whose caption CONTAINS another's joins at the
+    // caption tier (its only evidence channel)
+    assert(v("zz_null_c") === ((3, "zz_null_a")))
+    // no spurious merge for the unrelated null-bytes row
+    assert(v("zz_null_d") === ((0, "zz_null_d")))
+  }
 }
