@@ -503,6 +503,43 @@ object SparkEntry {
     })
   )
 
+  /** The DuckDB re-derivation of the 128-bit SimHash fold from a dumped
+    * resolved-feature table — ONE implementation shared by the q26 and q28
+    * oracles, so the fold contract (per-bit ±weight accumulate over both
+    * 64-bit words, the reference's `>= 0 -> 1` tie rule
+    * (functionsimhash.cpp:46), HUGEINT word packing) cannot drift between
+    * them. Emits the CTEs `f`, `bits`, `acc`, `words`; `words` has columns
+    * (`groupCol`..., hi_u, lo_u). Safe against float-reorder: CfgParitySpec
+    * pins min |accumulator| of the fixtures far above summation-order
+    * error. */
+  private def simhashFoldSql(glob: String, groupCol: Option[String]): String = {
+    val g = groupCol.map(c => s"f.$c, ").getOrElse("")
+    val gSel = groupCol.map(c => s"$c, ").getOrElse("")
+    val gBy = groupCol.map(c => s" GROUP BY $c").getOrElse("")
+    s"""f AS (SELECT * FROM read_parquet('$glob')),
+      |bits AS (SELECT i::INT AS i FROM generate_series(0, 63) t(i)),
+      |acc AS (SELECT ${g}b.i,
+      |  SUM(CASE WHEN ((f.feature_hi >> b.i) & 1) != 0
+      |      THEN f.weight ELSE -f.weight END) AS ah,
+      |  SUM(CASE WHEN ((f.feature_lo >> b.i) & 1) != 0
+      |      THEN f.weight ELSE -f.weight END) AS al
+      | FROM f CROSS JOIN bits b GROUP BY ${g}b.i),
+      |words AS (SELECT $gSel
+      |  SUM(CASE WHEN ah >= 0 THEN (1::HUGEINT << i) ELSE 0::HUGEINT END) AS hi_u,
+      |  SUM(CASE WHEN al >= 0 THEN (1::HUGEINT << i) ELSE 0::HUGEINT END) AS lo_u
+      | FROM acc$gBy)""".stripMargin
+  }
+
+  /** Hex rendering of the fold's two words — the reference tools'
+    * `%016x%016x` format. */
+  private val simhashHexSql: String =
+    "lower(lpad(to_hex(hi_u::UBIGINT), 16, '0') || " +
+      "lpad(to_hex(lo_u::UBIGINT), 16, '0'))"
+
+  /** An EMPTY feature fold: all accumulators 0, `>= 0` sets every bit —
+    * the all-ones hash (same convention as the Scala kernel's tie rule). */
+  private val allOnesHexSql: String = "'" + "f" * 32 + "'"
+
   def oracleSql: Map[String, String] = Map(
     "q01_agg" ->
       """SELECT l_returnflag, l_linestatus, round(sum(l_quantity),1) AS sum_qty,
@@ -844,26 +881,9 @@ object SparkEntry {
         |FROM t LEFT JOIN p ON t.a = p.a AND t.b = p.b""".stripMargin,
     "q26_cfg_simhash" ->
       // Re-derives the ENTIRE SimHash fold from the dumped resolved-feature
-      // stream: per-bit ±weight accumulate over both 64-bit words, the
-      // reference's `>= 0 -> 1` tie rule (functionsimhash.cpp:46), word
-      // packing, and the reference tools' `%016x%016x` hex format. Safe
-      // against float-reorder: CfgParitySpec pins min |accumulator| of this
-      // fixture far above summation-order error.
-      s"""WITH f AS (SELECT * FROM read_parquet('${OracleDump.glob("q26_feats")}')),
-        |bits AS (SELECT i::INT AS i FROM generate_series(0, 63) t(i)),
-        |acc AS (SELECT b.i,
-        |  SUM(CASE WHEN ((f.feature_hi >> b.i) & 1) != 0
-        |      THEN f.weight ELSE -f.weight END) AS ah,
-        |  SUM(CASE WHEN ((f.feature_lo >> b.i) & 1) != 0
-        |      THEN f.weight ELSE -f.weight END) AS al
-        | FROM f CROSS JOIN bits b GROUP BY b.i),
-        |words AS (SELECT
-        |  SUM(CASE WHEN ah >= 0 THEN (1::HUGEINT << i) ELSE 0::HUGEINT END) AS hi_u,
-        |  SUM(CASE WHEN al >= 0 THEN (1::HUGEINT << i) ELSE 0::HUGEINT END) AS lo_u
-        | FROM acc)
-        |SELECT 'five_node_cfg' AS name,
-        |  lower(lpad(to_hex(hi_u::UBIGINT), 16, '0') ||
-        |        lpad(to_hex(lo_u::UBIGINT), 16, '0')) AS simhash_hex
+      // stream (shared fold SQL — see simhashFoldSql).
+      s"""WITH ${simhashFoldSql(OracleDump.glob("q26_feats"), None)}
+        |SELECT 'five_node_cfg' AS name, $simhashHexSql AS simhash_hex
         |FROM words""".stripMargin,
     "q28_cfg_json_scan" ->
       // Independent re-parse of the dumped raw JSON (DuckDB's own JSON
@@ -871,7 +891,11 @@ object SparkEntry {
       // (AddEdge adds both nodes, flowgraph.cpp:40-47), branching = sources
       // with >= 2 out-edge ENTRIES (parallel edges count), min-size filter
       // F1 (branching > 5, addfunctionstoindex.cpp:103-111); simhash_hex
-      // re-derived from the resolved feature table as in q26.
+      // from the shared fold SQL (simhashFoldSql). TOTAL over the raw
+      // dump: every JSON line yields a row even for a degenerate CFG (no
+      // nodes, no features) — LEFT JOINs from `named`, zero-coalesced
+      // counts, and the empty fold's all-ones hex, matching the Scala
+      // kernel's tie rule.
       s"""WITH j AS (SELECT value::JSON AS g
         |  FROM read_parquet('${OracleDump.glob("q28_raw")}')),
         |named AS (SELECT coalesce(json_extract_string(g, '$$.name'), '') AS name, g FROM j),
@@ -888,26 +912,16 @@ object SparkEntry {
         |branching AS (SELECT name, count(*) AS branching_nodes
         |  FROM (SELECT name, src FROM edge_rows GROUP BY name, src HAVING count(*) >= 2)
         |  GROUP BY name),
-        |f AS (SELECT * FROM read_parquet('${OracleDump.glob("q28_feats")}')),
-        |bits AS (SELECT i::INT AS i FROM generate_series(0, 63) t(i)),
-        |acc AS (SELECT f.name, b.i,
-        |  SUM(CASE WHEN ((f.feature_hi >> b.i) & 1) != 0
-        |      THEN f.weight ELSE -f.weight END) AS ah,
-        |  SUM(CASE WHEN ((f.feature_lo >> b.i) & 1) != 0
-        |      THEN f.weight ELSE -f.weight END) AS al
-        | FROM f CROSS JOIN bits b GROUP BY f.name, b.i),
-        |words AS (SELECT name,
-        |  SUM(CASE WHEN ah >= 0 THEN (1::HUGEINT << i) ELSE 0::HUGEINT END) AS hi_u,
-        |  SUM(CASE WHEN al >= 0 THEN (1::HUGEINT << i) ELSE 0::HUGEINT END) AS lo_u
-        | FROM acc GROUP BY name)
-        |SELECT c.name, c.n_nodes,
+        |${simhashFoldSql(OracleDump.glob("q28_feats"), Some("name"))}
+        |SELECT n.name, coalesce(c.n_nodes, 0) AS n_nodes,
         |  coalesce(br.branching_nodes, 0) AS branching_nodes,
         |  coalesce(br.branching_nodes, 0) > 5 AS passes_min_size,
-        |  lower(lpad(to_hex(w.hi_u::UBIGINT), 16, '0') ||
-        |        lpad(to_hex(w.lo_u::UBIGINT), 16, '0')) AS simhash_hex
-        |FROM counts c LEFT JOIN branching br USING (name)
-        |  JOIN words w USING (name)
-        |ORDER BY c.name""".stripMargin,
+        |  coalesce($simhashHexSql, $allOnesHexSql) AS simhash_hex
+        |FROM (SELECT DISTINCT name FROM named) n
+        |  LEFT JOIN counts c USING (name)
+        |  LEFT JOIN branching br USING (name)
+        |  LEFT JOIN words w USING (name)
+        |ORDER BY n.name""".stripMargin,
     "q27_cos_histogram" ->
       """WITH e0 AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v,
         |  row_number() OVER (PARTITION BY label ORDER BY vec_id) AS rn

@@ -72,22 +72,24 @@ object SimHash {
     */
   def simhash128(features: Iterable[Feat], cfg: SimHashConfig): (Long, Long) = {
     val acc = new Array[Double](128)
-    resolvedFeatures(features, cfg).foreach { case (h0, h1, w) =>
-      addWeights(h0, h1, w, acc)
-    }
+    resolveFeatures(features, cfg)(new ResolvedConsumer {
+      def accept(h0: Long, h1: Long, w: Double): Unit =
+        addWeights(h0, h1, w, acc)
+    })
     floatsToBits(acc)
   }
 
-  /** The occurrence/weight-resolution half of [[simhash128]], exposed so the
-    * resolved `(hash_hi, hash_lo, weight)` stream can be dumped as oracle
-    * evidence: the fold below it (per-bit ±w accumulate, `>= 0` tie rule,
-    * hex packing) is pure arithmetic a SQL engine can re-derive from this
-    * table, which turns the "kernel fixture" queries into relationally
-    * checked ones. `simhash128` folds exactly this stream, so evidence and
-    * engine cannot drift. */
-  def resolvedFeatures(features: Iterable[Feat],
-      cfg: SimHashConfig): Seq[(Long, Long, Double)] = {
-    val out = Seq.newBuilder[(Long, Long, Double)]
+  /** Unboxed sink for the resolved feature stream — a dedicated trait
+    * (not `Function3`, which boxes all three primitive args) so the hot
+    * per-record fold in [[simhash128]] allocates nothing per feature. */
+  trait ResolvedConsumer { def accept(h0: Long, h1: Long, w: Double): Unit }
+
+  /** The occurrence/weight-resolution half of [[simhash128]]: streams each
+    * resolved `(hash_hi, hash_lo, weight)` into `out`. `simhash128` folds
+    * exactly this stream, so the dumped oracle evidence and the engine
+    * cannot drift. */
+  def resolveFeatures(features: Iterable[Feat], cfg: SimHashConfig)(
+      out: ResolvedConsumer): Unit = {
     val cardinalities = mutable.HashMap.empty[Long, Long]
     val it = features.iterator
     while (it.hasNext) {
@@ -98,9 +100,22 @@ object SimHash {
         cardinalities.update(id0, occ + 1)
         val (h0, h1) = if (occ == 0) f.hash128(0) else f.hash128(occ)
         val w = cfg.weights.getOrElse(h0, cfg.classWeights(f.weightClass))
-        out += ((h0, h1, w))
+        out.accept(h0, h1, w)
       }
     }
+  }
+
+  /** [[resolveFeatures]] materialized as a Seq — the oracle-evidence dump
+    * form (q26/q28): the fold below it (per-bit ±w accumulate, `>= 0` tie
+    * rule, hex packing) is pure arithmetic a SQL engine can re-derive from
+    * this table, which turns the "kernel fixture" queries into
+    * relationally checked ones. */
+  def resolvedFeatures(features: Iterable[Feat],
+      cfg: SimHashConfig): Seq[(Long, Long, Double)] = {
+    val out = Seq.newBuilder[(Long, Long, Double)]
+    resolveFeatures(features, cfg)(new ResolvedConsumer {
+      def accept(h0: Long, h1: Long, w: Double): Unit = out += ((h0, h1, w))
+    })
     out.result()
   }
 

@@ -118,8 +118,23 @@ object TieredImageDedup {
       .unionByName(nullByteCaps)
     val subPairs = SubstringDup.containedPairs(spark, capRows,
       cfg.substringWindow).localCheckpoint()
-    val lab3 = components(spark,
+    val lab3raw = components(spark,
       surv2.unionByName(nullBytes.select("image_id")), subPairs)
+    // canonical RE-ELECTION: a mixed component (decodable + undecodable
+    // members) must keep a record that still HAS image bytes — blind
+    // min-id election could crown a null-bytes row and drop the only
+    // pixel-bearing copy, which for a training corpus is data loss. Min
+    // decodable id wins; an all-undecodable component falls back to its
+    // min id. One cluster-granularity aggregate + join; a no-null corpus
+    // is bit-identical to plain min-id (the oracle's q36 case).
+    val nullIds = nullBytes.select(col("image_id"), lit(true).as("is_null"))
+    val elected = lab3raw
+      .join(nullIds, Seq("image_id"), "left")
+      .groupBy("canonical_id")
+      .agg(coalesce(min(when(col("is_null").isNull, col("image_id"))),
+        min(col("image_id"))).as("canonical2"))
+    val lab3 = lab3raw.join(elected, "canonical_id")
+      .select(col("image_id"), col("canonical2").as("canonical_id"))
     val t3 = lab3.filter(col("image_id") =!= col("canonical_id"))
       .select(col("image_id"), lit(3).as("tier"), col("canonical_id"))
     val kept = lab3.filter(col("image_id") === col("canonical_id"))

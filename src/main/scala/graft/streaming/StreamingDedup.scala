@@ -1079,6 +1079,15 @@ object StreamingDedup {
       .filter(centralIds.contains) :+ baseFloor).max
 
     def writeSnapshot(labels: DataFrame, upto: Long): DataFrame = {
+      // never rewrite the LIVE snapshot in place: when the frontier has not
+      // advanced (upto == previous id — e.g. every batch beyond it is a
+      // legacy one the central-marker cap excludes), return the freshly
+      // computed labels WITHOUT writing. Overwriting the only committed
+      // snapshot would open a crash window (clearDone → overwrite →
+      // markDone) that can destroy it, for zero progress — the extra
+      // legacy edges are simply refolded on each call until their batch
+      // commits centrally or compaction folds it into the base.
+      if (prevSnap.exists(_._1 == upto)) return labels.localCheckpoint()
       val dir = new Path(lt, s"upto_$upto")
       clearDone(fs, dir)
       val out = labels.localCheckpoint()

@@ -156,18 +156,24 @@ class OpsSpec extends AnyFunSuite {
     // long range — plain zero-padding inverts negative order ("-0…1" <
     // "-0…2" lexicographically but -1 > -2), silently electing the wrong
     // canonical. Mixed-sign and all-negative components both exercised.
-    val t0 = "the quick brown fox jumps over the lazy dog today"
-    val t1 = "colorless green ideas sleep furiously in the garden tonight"
+    // DISTINCT near-dup texts, so the components form at tier 2 — the
+    // tier that actually routes through the string-encoded min-label
+    // closure. (Byte-identical texts would collapse at tier 1's numeric
+    // groupBy and never exercise the encoding: under the broken padding
+    // this exact fixture elected -1 over -2.)
     val docs = Seq(
-      -1L -> t0, -2L -> t0, 3L -> t0, // mixed-sign component, min = -2
-      -5L -> t1, -4L -> t1) // all-negative component, min = -5
+      -1L -> "the quick brown fox jumps over the lazy dog today",
+      -2L -> "the quick brown fox jumps over the lazy cat today",
+      3L -> "the quick brown fox jumps over the lazy owl today",
+      -5L -> "colorless green ideas sleep furiously in the garden tonight",
+      -4L -> "colorless green ideas sleep furiously in the garden morning")
       .toDF("doc_id", "text")
     val embT = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
     val v = TieredDedup.run(docs, embT).verdicts.collect()
       .map(r => r.getLong(0) -> ((r.getInt(1), r.getLong(2)))).toMap
     assert(v === Map(
-      -2L -> ((0, -2L)), -1L -> ((1, -2L)), 3L -> ((1, -2L)),
-      -5L -> ((0, -5L)), -4L -> ((1, -5L))))
+      -2L -> ((0, -2L)), -1L -> ((2, -2L)), 3L -> ((2, -2L)),
+      -5L -> ((0, -5L)), -4L -> ((2, -5L))))
   }
 
   test("tiered dedup on the sf tables: partition of all docs, tiers consistent with single-tier ops") {

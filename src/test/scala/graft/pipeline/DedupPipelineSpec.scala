@@ -64,9 +64,13 @@ class DedupPipelineSpec extends AnyFunSuite {
     val cfg = DedupConfig()
     val (images, truth) = SyntheticCorpus.generate(spark, nGroups = 4,
       variantsPerGroup = 2, nDistractors = 8)
-    val distractors = images.join(truth.select("image_id"),
-      Seq("image_id"), "left_anti")
-      .select("image_id").collect().map(_.getString(0)).sorted.take(3)
+    // distractors are the SINGLETON truth groups (truth lists every image,
+    // so an anti-join against it selects nothing)
+    val distractors = truth.groupBy("group_id")
+      .agg(count(lit(1)).as("n"), min("image_id").as("id"))
+      .filter(col("n") === 1)
+      .select("id").collect().map(_.getString(0)).sorted.take(3)
+    assert(distractors.length === 3)
     val blanked = images.withColumn("caption",
       when(col("image_id").isin(distractors.toSeq: _*), lit(""))
         .otherwise(col("caption"))).localCheckpoint()

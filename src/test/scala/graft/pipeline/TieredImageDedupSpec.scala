@@ -71,20 +71,36 @@ class TieredImageDedupSpec extends AnyFunSuite {
   test("null-bytes rows flow through the cascade: tier-1 dedup, tier-3 captions, no decode crash") {
     import spark.implicits._
     val cfg = DedupConfig()
-    val (images, _) = SyntheticCorpus.generate(spark, nGroups = 4,
+    val (images, truth) = SyntheticCorpus.generate(spark, nGroups = 4,
       variantsPerGroup = 2, nDistractors = 4)
     // recordSha's contract: null bytes group with their own kind instead
     // of vanishing — and tier 2 must ROUTE AROUND them (no pixel evidence)
     // instead of feeding null to the decoder
     val longCap = "this caption is long enough to exceed the substring window"
+    // a DISTRACTOR (pixel-unrelated, so it survives tier 2) whose caption
+    // will contain cap2 — and an undecodable row "aa_null" whose id sorts
+    // BEFORE every synthetic id ("img_..."): blind min-id election would
+    // crown the null-bytes row and drop the only pixel-bearing copy
+    val cap2 = "another long caption that exceeds the substring window easily"
+    // distractor = a SINGLETON truth group (truth lists every image, so an
+    // anti-join against it selects nothing)
+    val distractor = truth.groupBy("group_id")
+      .agg(count(lit(1)).as("n"), min("image_id").as("id"))
+      .filter(col("n") === 1)
+      .select("id").orderBy("id").limit(1)
+      .collect()(0).getString(0)
+    val withCap2 = images.withColumn("caption",
+      when(col("image_id") === distractor, lit(s"start $cap2 end"))
+        .otherwise(col("caption")))
     val nullRows = Seq(
       graft.images.ImageRow("zz_null_a", null, 0, 0, "none", longCap, 0L),
       graft.images.ImageRow("zz_null_b", null, 0, 0, "none", longCap, 0L),
       graft.images.ImageRow("zz_null_c", null, 0, 0, "none",
         s"prefix text then $longCap and a suffix", 0L),
       graft.images.ImageRow("zz_null_d", null, 0, 0, "none",
-        "an entirely unrelated short note", 0L)).toDF()
-    val all = images.unionByName(nullRows).localCheckpoint()
+        "an entirely unrelated short note", 0L),
+      graft.images.ImageRow("aa_null", null, 0, 0, "none", cap2, 0L)).toDF()
+    val all = withCap2.unionByName(nullRows).localCheckpoint()
     val v = TieredImageDedup.run(all, cfg).verdicts.collect()
       .map(r => r.getString(0) -> ((r.getInt(1), r.getString(2)))).toMap
     // every row got exactly one verdict (nothing crashed, nothing vanished)
@@ -96,5 +112,10 @@ class TieredImageDedupSpec extends AnyFunSuite {
     assert(v("zz_null_c") === ((3, "zz_null_a")))
     // no spurious merge for the unrelated null-bytes row
     assert(v("zz_null_d") === ((0, "zz_null_d")))
+    // mixed component: canonical election must prefer the DECODABLE record
+    // even though the null-bytes id sorts first — dropping the only
+    // pixel-bearing copy would be data loss
+    assert(v("aa_null") === ((3, distractor)), s"aa_null verdict ${v("aa_null")}")
+    assert(v(distractor) === ((0, distractor)))
   }
 }

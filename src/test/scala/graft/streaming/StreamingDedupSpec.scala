@@ -433,8 +433,13 @@ class StreamingDedupSpec extends AnyFunSuite {
     StreamingDedup.clustersIncremental(spark, state)
     // the snapshot must NOT advance to 2: batch 2's sig rows are not yet
     // visible, and an upto_2 snapshot would make every later incremental
-    // run (strictly-newer filter) skip them forever once they commit
+    // run (strictly-newer filter) skip them forever once they commit.
+    // It must also not be RE-WRITTEN in place: overwriting the only
+    // committed snapshot for zero progress opens a crash window that can
+    // destroy it — the _done marker must survive untouched
     assert(new java.io.File(s"$state/labels/upto_1").isDirectory)
+    assert(new java.io.File(s"$state/labels/upto_1/_done").exists(),
+      "live snapshot was rewritten in place (commit marker cycled)")
     assert(!new java.io.File(s"$state/labels/upto_2").exists())
     // batch 2 commits properly (replay under the unified protocol)
     assert(new java.io.File(s"$state/commits/batch_2").createNewFile())
