@@ -160,6 +160,17 @@ object SparkEntry {
         .filter(col("a") < col("b")).select("a", "b").distinct()
       EmbeddingOps.verifyCosPairs(candidates, emb, 0.4)
     }),
+    "q38_multiprobe_lsh" -> ((s, dir) => {
+      // multi-probe LSH: 4x fewer bands than q22 (24 vs 96), recall bought
+      // back by probing each band's 2 lowest-margin bit-flips on the query
+      // side. The dumped probe table carries is_exact, so DuckDB re-derives
+      // the probe-vs-exact candidate join and the cosine verify end-to-end.
+      val emb = rd(s, dir, "embeddings")
+      val probes = OracleDump.dump("q38_probes",
+        EmbeddingOps.lshProbeBands(emb, bands = 24, extraProbes = 2))
+      EmbeddingOps.verifyCosPairs(
+        EmbeddingOps.multiProbeCandidates(probes), emb, 0.4)
+    }),
     // ---- the image near-dup pipeline: hash kernels dumped as oracle
     // evidence; the relational stages (sorted-neighbor candidates, Hamming/
     // Jaccard verify, connected components, recall join) re-derived in
@@ -780,6 +791,21 @@ object SparkEntry {
       s"""WITH b AS (SELECT * FROM read_parquet('${OracleDump.glob("q22_banded")}')),
         |cand AS (SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
         |  FROM b x JOIN b y ON x.bk = y.bk AND x.vec_id < y.vec_id),
+        |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+        |SELECT cand.a AS vec_a, cand.b AS vec_b,
+        |  round(list_dot_product(ea.v, eb.v) /
+        |   (sqrt(list_dot_product(ea.v, ea.v)) * sqrt(list_dot_product(eb.v, eb.v))), 4)
+        |   AS cos
+        |FROM cand JOIN e ea ON ea.vec_id = cand.a JOIN e eb ON eb.vec_id = cand.b
+        |WHERE list_dot_product(ea.v, eb.v) /
+        |   (sqrt(list_dot_product(ea.v, ea.v)) * sqrt(list_dot_product(eb.v, eb.v))) >= 0.4
+        |ORDER BY vec_a, vec_b""".stripMargin,
+    "q38_multiprobe_lsh" ->
+      s"""WITH p AS (SELECT * FROM read_parquet('${OracleDump.glob("q38_probes")}')),
+        |cand AS (SELECT DISTINCT least(x.vec_id, y.vec_id) AS a,
+        |    greatest(x.vec_id, y.vec_id) AS b
+        |  FROM p x JOIN p y ON x.bk = y.bk AND y.is_exact
+        |    AND x.vec_id <> y.vec_id),
         |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
         |SELECT cand.a AS vec_a, cand.b AS vec_b,
         |  round(list_dot_product(ea.v, eb.v) /

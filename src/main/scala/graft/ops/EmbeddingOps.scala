@@ -167,6 +167,95 @@ object EmbeddingOps {
     fanOut(emb).select(col("vec_id"), explode(keysUdf(col("embedding"))).as("bk"))
   }
 
+  /** Multi-probe band keys (Lv et al., VLDB 2007, adapted to
+    * sign-random-projection LSH): per band, besides the exact key
+    * (`is_exact = true`), emit `extraProbes` probe keys, each flipping ONE
+    * of the band's lowest-|projection| sign bits — the bits most likely to
+    * have landed on the wrong side of their hyperplane for a true
+    * near-neighbor. Probing trades a little per-query join fan-out for a
+    * proportional cut in the number of bands needed at a given recall —
+    * i.e. at 10^12 rows, (1+extraProbes)× probe rows on the QUERY side
+    * buys a ~T× smaller persisted index (the base stores exact keys only),
+    * which is the side that dominates state at scale.
+    *
+    * The exact key computed here is arithmetic-identical to `lshBands`
+    * (same hyperplanes, same left-to-right accumulation), spec-asserted by
+    * the `extraProbes = 0` equivalence test. Margin ties break by bit
+    * index — fully deterministic. */
+  def lshProbeBands(emb: DataFrame, planes: Int = 768, bands: Int = 24,
+      rowsPerBand: Int = 8, dims: Int = 64, extraProbes: Int = 2): DataFrame = {
+    require(bands * rowsPerBand <= planes)
+    require(rowsPerBand < 56, "band id must fit above the key bits")
+    require(extraProbes >= 0 && extraProbes <= rowsPerBand,
+      s"extraProbes $extraProbes must be in [0, rowsPerBand=$rowsPerBand]")
+    val H = hyperplane(planes, dims)
+    val probesUdf = udf((v: Seq[Float]) => {
+      require(v.length == dims,
+        s"embedding dim ${v.length} != hyperplane dims $dims — pass dims=" +
+          s"${v.length} to lshProbeBands")
+      val out = new Array[(Long, Boolean)](bands * (1 + extraProbes))
+      val margins = new Array[Double](rowsPerBand)
+      var o = 0
+      var b = 0
+      while (b < bands) {
+        var key = b.toLong << rowsPerBand
+        var r = 0
+        while (r < rowsPerBand) {
+          val p = b * rowsPerBand + r
+          var s = 0.0
+          var d = 0
+          while (d < dims) { s += H(p)(d) * v(d); d += 1 }
+          key = (key << 1) | (if (s >= 0) 1L else 0L)
+          margins(r) = math.abs(s)
+          r += 1
+        }
+        out(o) = (key, true); o += 1
+        // flip the extraProbes bits of smallest |projection|, one per probe
+        // key; bit for round r sits at shift (rowsPerBand - 1 - r)
+        val order = (0 until rowsPerBand).sortBy(r => (margins(r), r))
+        var e = 0
+        while (e < extraProbes) {
+          out(o) = (key ^ (1L << (rowsPerBand - 1 - order(e))), false); o += 1
+          e += 1
+        }
+        b += 1
+      }
+      out
+    })
+    fanOut(emb).select(col("vec_id"), explode(probesUdf(col("embedding"))).as("p"))
+      .select(col("vec_id"), col("p._1").as("bk"), col("p._2").as("is_exact"))
+  }
+
+  /** Multi-probe LSH near-duplicate pairs: candidates collide when ANY
+    * probe key of one side equals an EXACT key of the other (the exact key
+    * is itself in the probe set, so the single-probe candidate set is a
+    * subset by construction — spec-asserted). Join ships only (key, id)
+    * rows; vectors join back once per side inside `verifyCosPairs`. The
+    * probe table feeds both sides of the self-join, so it is materialized
+    * once (`localCheckpoint`) instead of recomputing the fan-out UDF per
+    * side. Same output shape as `cosinePairs` / `lshCosinePairs`; recall
+    * is measured against the exact baseline in OpsSpec. */
+  def multiProbeCosinePairs(emb: DataFrame, minCos: Double,
+      planes: Int = 768, bands: Int = 24, rowsPerBand: Int = 8,
+      dims: Int = 64, extraProbes: Int = 2): DataFrame = {
+    val probes =
+      lshProbeBands(emb, planes, bands, rowsPerBand, dims, extraProbes)
+        .localCheckpoint()
+    verifyCosPairs(multiProbeCandidates(probes), emb, minCos)
+  }
+
+  /** The relational half of multi-probe search, from a materialized
+    * (vec_id, bk, is_exact) probe table (dumpable as oracle evidence):
+    * probe keys join exact keys, unordered-pair normalize, dedup. */
+  def multiProbeCandidates(probes: DataFrame): DataFrame =
+    probes.select(col("bk"), col("vec_id").as("x"))
+      .join(probes.filter(col("is_exact"))
+        .select(col("bk"), col("vec_id").as("y")), "bk")
+      .filter(col("x") =!= col("y"))
+      .select(least(col("x"), col("y")).as("a"),
+        greatest(col("x"), col("y")).as("b"))
+      .distinct()
+
   // --------------------------------------------------------------------
   // IVF (inverted-file) ANN — the coarse-quantizer scale path.
   //

@@ -75,6 +75,37 @@ class OpsSpec extends AnyFunSuite {
       s"ANN recall ${ann.size}/${exact.size}")
   }
 
+  test("multi-probe LSH: extraProbes=0 == single-probe; probes lift recall at 4x fewer bands") {
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("vec_a", "vec_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(EmbeddingOps.cosinePairs(emb, 0.4))
+    // extraProbes = 0 must reproduce the single-probe operator exactly —
+    // pins the probe path's exact-key arithmetic to lshBands
+    val single = pairs(EmbeddingOps.lshCosinePairs(emb, 0.4, bands = 24))
+    val zero = pairs(EmbeddingOps.multiProbeCosinePairs(emb, 0.4,
+      bands = 24, extraProbes = 0))
+    assert(zero === single)
+    val multi = pairs(EmbeddingOps.multiProbeCosinePairs(emb, 0.4,
+      bands = 24, extraProbes = 2))
+    // verify step: every reported pair is a true pair; probe set includes
+    // the exact key, so single-probe pairs are a subset by construction
+    assert(multi.subsetOf(exact))
+    assert(single.subsetOf(multi))
+    // the point of probing: at 24 bands (4x less index state than q22's
+    // 96), the 2-probe recall must beat single-probe and clear 0.8
+    assert(multi.size > single.size,
+      s"probing added nothing: multi=${multi.size} single=${single.size}")
+    println(s"multi-probe LSH @24 bands: single-probe ${single.size}/" +
+      s"${exact.size}, 2-probe ${multi.size}/${exact.size}")
+    assert(multi.size.toDouble / exact.size >= 0.8,
+      s"multi-probe recall ${multi.size}/${exact.size}")
+    // determinism
+    val again = pairs(EmbeddingOps.multiProbeCosinePairs(emb, 0.4,
+      bands = 24, extraProbes = 2))
+    assert(again === multi)
+  }
+
   test("IVF ANN: probing all cells equals brute force; nprobe=4 has recall") {
     val exact = EmbeddingOps.knnBrute(emb, nQueries = 10, k = 5).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
