@@ -47,8 +47,10 @@ object TieredDedup {
     * must match the embedding width when `approxSem = true` (the LSH
     * hyperplanes are built at that dimension and fail fast on mismatch).
     * `approxSem` switches the semantic tier's pair source from the exact
-    * O(n²) cosine join (oracle-checkable baseline) to the random-hyperplane
-    * LSH path — the 100×-scale variant (same contract as q22 vs q20). The
+    * O(n²) cosine join (oracle-checkable baseline) to the multi-probe
+    * random-hyperplane LSH path — the 100×-scale variant (same verified-
+    * subset contract as q38 vs q20, at 1/4 the band state of plain LSH;
+    * the spec asserts approx tier-3 drops ⊆ exact tier-3 drops). The
     * exact default BROADCASTS the tier-2-survivor embedding table (that is
     * what makes it exact without an all-pairs shuffle), so it is bounded
     * by the broadcast limit — beyond a few GB of surviving vectors, set
@@ -95,7 +97,7 @@ object TieredDedup {
     val embSub = emb.join(surv2.select(col("doc_id").as("vec_id")),
       Seq("vec_id"), "left_semi")
     val semPairs = (if (approxSem)
-      EmbeddingOps.lshCosinePairs(embSub, minCos, dims = embDims)
+      EmbeddingOps.multiProbeCosinePairs(embSub, minCos, dims = embDims)
     else EmbeddingOps.cosinePairs(embSub, minCos)).localCheckpoint()
     val lab3 = components(surv2,
       semPairs.select(col("vec_a").as("a"), col("vec_b").as("b")))

@@ -207,6 +207,35 @@ class OpsSpec extends AnyFunSuite {
       -5L -> ((0, -5L)), -4L -> ((2, -5L))))
   }
 
+  test("tiered dedup approxSem: multi-probe tier 3 is a verified subset of exact") {
+    def ps(df: org.apache.spark.sql.DataFrame) =
+      df.select("vec_a", "vec_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def byTier(r: TieredDedup.Result, ts: Set[Int]) =
+      r.verdicts.collect()
+        .map(row => (row.getLong(0), row.getInt(1), row.getLong(2)))
+        .filter(t => ts.contains(t._2)).toSet
+    val exactR = TieredDedup.run(docs, emb)
+    val approxR = TieredDedup.run(docs, emb, approxSem = true)
+    // approxSem only changes tier 3's pair source: tiers 1-2 identical
+    assert(byTier(approxR, Set(1, 2)) === byTier(exactR, Set(1, 2)))
+    // every approx sem pair passed the exact-cosine verify -> subset; and
+    // pair subset => component refinement => approx tier-3 DROPS are a
+    // subset of exact tier-3 drops (a missed edge can only keep a doc,
+    // never invent a drop)
+    val exPairs = ps(exactR.semPairs)
+    val apPairs = ps(approxR.semPairs)
+    assert(exPairs.nonEmpty, "fixture must exercise tier 3")
+    assert(apPairs.subsetOf(exPairs))
+    val exDrops = byTier(exactR, Set(3)).map(_._1)
+    val apDrops = byTier(approxR, Set(3)).map(_._1)
+    assert(apDrops.subsetOf(exDrops))
+    println(s"approxSem tier-3: pairs ${apPairs.size}/${exPairs.size}, " +
+      s"drops ${apDrops.size}/${exDrops.size}")
+    assert(apPairs.size.toDouble / exPairs.size >= 0.75,
+      s"approx tier-3 pair recall ${apPairs.size}/${exPairs.size}")
+  }
+
   test("tiered dedup on the sf tables: partition of all docs, tiers consistent with single-tier ops") {
     val res = TieredDedup.run(docs, emb)
     val v = res.verdicts.cache()
