@@ -154,7 +154,9 @@ object SparkEntry {
     "q21_label_stats" -> ((s, dir) => EmbeddingOps.labelStats(rd(s, dir, "embeddings"))),
     "q22_ann_lsh" -> ((s, dir) => {
       val emb = rd(s, dir, "embeddings")
-      val banded = OracleDump.dump("q22_banded", EmbeddingOps.lshBands(emb))
+      val banded = ops.TextOps.dropHotKeys(
+        OracleDump.dump("q22_banded", EmbeddingOps.lshBands(emb)),
+        "bk", 1000, "q22_ann_lsh") // skew guard, mirrored in the oracle SQL
       val candidates = banded.select(col("bk"), col("vec_id").as("a"))
         .join(banded.select(col("bk"), col("vec_id").as("b")), "bk")
         .filter(col("a") < col("b")).select("a", "b").distinct()
@@ -788,7 +790,9 @@ object SparkEntry {
         |HAVING min(bit_count(xor(x.hi, y.hi)) + bit_count(xor(x.lo, y.lo))) <= 25
         |ORDER BY doc_a, doc_b""".stripMargin,
     "q22_ann_lsh" ->
-      s"""WITH b AS (SELECT * FROM read_parquet('${OracleDump.glob("q22_banded")}')),
+      s"""WITH b0 AS (SELECT * FROM read_parquet('${OracleDump.glob("q22_banded")}')),
+        |b AS (SELECT * FROM b0 WHERE bk IN
+        |  (SELECT bk FROM b0 GROUP BY bk HAVING count(*) <= 1000)),
         |cand AS (SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
         |  FROM b x JOIN b y ON x.bk = y.bk AND x.vec_id < y.vec_id),
         |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
@@ -802,9 +806,11 @@ object SparkEntry {
         |ORDER BY vec_a, vec_b""".stripMargin,
     "q38_multiprobe_lsh" ->
       s"""WITH p AS (SELECT * FROM read_parquet('${OracleDump.glob("q38_probes")}')),
+        |ex AS (SELECT * FROM p WHERE is_exact AND bk IN
+        |  (SELECT bk FROM p WHERE is_exact GROUP BY bk HAVING count(*) <= 1000)),
         |cand AS (SELECT DISTINCT least(x.vec_id, y.vec_id) AS a,
         |    greatest(x.vec_id, y.vec_id) AS b
-        |  FROM p x JOIN p y ON x.bk = y.bk AND y.is_exact
+        |  FROM p x JOIN ex y ON x.bk = y.bk
         |    AND x.vec_id <> y.vec_id),
         |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
         |SELECT cand.a AS vec_a, cand.b AS vec_b,

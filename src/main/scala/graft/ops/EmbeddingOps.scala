@@ -119,8 +119,17 @@ object EmbeddingOps {
     * (band join + cos verify) is oracle-checkable from the dumped band
     * table (q22). */
   def lshCosinePairs(emb: DataFrame, minCos: Double, planes: Int = 768,
-      bands: Int = 96, rowsPerBand: Int = 8, dims: Int = 64): DataFrame = {
-    val banded = lshBands(emb, planes, bands, rowsPerBand, dims)
+      bands: Int = 96, rowsPerBand: Int = 8, dims: Int = 64,
+      maxBucket: Int = 1000): DataFrame = {
+    // skewed-LSH-bucket guard (same contract as the text ops' hot-shingle
+    // cap): a degenerate direction shared by m vectors puts all m in ONE
+    // bucket per band — m² join rows × bands with no cap. Buckets with
+    // occupancy > maxBucket are excluded and LOGGED; a pair in a dropped
+    // bucket can still collide in any of its other bands. The band table
+    // feeds the occupancy count plus both join sides → materialized once.
+    val banded = TextOps.dropHotKeys(
+      lshBands(emb, planes, bands, rowsPerBand, dims).localCheckpoint(),
+      "bk", maxBucket, "lshCosinePairs")
     val candidates = banded.select(col("bk"), col("vec_id").as("a"))
       .join(banded.select(col("bk"), col("vec_id").as("b")), "bk")
       .filter(col("a") < col("b"))
@@ -237,24 +246,32 @@ object EmbeddingOps {
     * is measured against the exact baseline in OpsSpec. */
   def multiProbeCosinePairs(emb: DataFrame, minCos: Double,
       planes: Int = 768, bands: Int = 24, rowsPerBand: Int = 8,
-      dims: Int = 64, extraProbes: Int = 2): DataFrame = {
+      dims: Int = 64, extraProbes: Int = 2,
+      maxBucket: Int = 1000): DataFrame = {
     val probes =
       lshProbeBands(emb, planes, bands, rowsPerBand, dims, extraProbes)
         .localCheckpoint()
-    verifyCosPairs(multiProbeCandidates(probes), emb, minCos)
+    verifyCosPairs(multiProbeCandidates(probes, maxBucket), emb, minCos)
   }
 
   /** The relational half of multi-probe search, from a materialized
     * (vec_id, bk, is_exact) probe table (dumpable as oracle evidence):
-    * probe keys join exact keys, unordered-pair normalize, dedup. */
-  def multiProbeCandidates(probes: DataFrame): DataFrame =
+    * probe keys join exact keys, unordered-pair normalize, dedup. The
+    * skewed-bucket guard caps the EXACT side's occupancy — the persisted
+    * index side that multiplies the join — so a hot probe key finds no
+    * partner instead of m² rows; drops are logged (see
+    * `TextOps.dropHotKeys`) and the q38 oracle mirrors the cap. */
+  def multiProbeCandidates(probes: DataFrame,
+      maxBucket: Int = 1000): DataFrame = {
+    val exact = TextOps.dropHotKeys(probes.filter(col("is_exact")),
+      "bk", maxBucket, "multiProbeCandidates")
     probes.select(col("bk"), col("vec_id").as("x"))
-      .join(probes.filter(col("is_exact"))
-        .select(col("bk"), col("vec_id").as("y")), "bk")
+      .join(exact.select(col("bk"), col("vec_id").as("y")), "bk")
       .filter(col("x") =!= col("y"))
       .select(least(col("x"), col("y")).as("a"),
         greatest(col("x"), col("y")).as("b"))
       .distinct()
+  }
 
   // --------------------------------------------------------------------
   // IVF (inverted-file) ANN — the coarse-quantizer scale path.

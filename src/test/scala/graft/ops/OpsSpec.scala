@@ -106,6 +106,28 @@ class OpsSpec extends AnyFunSuite {
     assert(again === multi)
   }
 
+  test("LSH skew guard: a degenerate mega-bucket is capped; isolated pairs survive") {
+    import spark.implicits._
+    // 40 identical vectors share EVERY band key — 40²×bands join rows with
+    // no cap (the skewed-LSH-bucket case the north rule names). With
+    // maxBucket = 10 their buckets drop; the genuine near-dup pair in an
+    // orthogonal direction keeps its own cold buckets.
+    val hot = Array(1f, 0f, 0f, 0f)
+    val vecs = (0L until 40L).map(i => (i, hot)) ++
+      Seq((100L, Array(0f, 1f, 0f, 0f)), (101L, Array(0f, 1f, 0.05f, 0f)))
+    val embT = vecs.toDF("vec_id", "embedding")
+    def ps(df: org.apache.spark.sql.DataFrame) =
+      df.select("vec_a", "vec_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(ps(EmbeddingOps.multiProbeCosinePairs(embT, 0.9, dims = 4,
+      maxBucket = 10)) === Set((100L, 101L)))
+    assert(ps(EmbeddingOps.lshCosinePairs(embT, 0.9, dims = 4,
+      maxBucket = 10)) === Set((100L, 101L)))
+    // cap above the group size: the identical vectors pair up fully again
+    assert(ps(EmbeddingOps.multiProbeCosinePairs(embT, 0.9, dims = 4,
+      maxBucket = 1000)).size === 40 * 39 / 2 + 1)
+  }
+
   test("IVF ANN: probing all cells equals brute force; nprobe=4 has recall") {
     val exact = EmbeddingOps.knnBrute(emb, nQueries = 10, k = 5).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
