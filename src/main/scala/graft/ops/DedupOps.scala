@@ -33,7 +33,17 @@ object DedupOps {
     * EXACT Jaccard on the candidate pairs only. Candidates come from the
     * banded equi-join (never O(n²)); the exact verify makes the output
     * independent of sketch randomness given the bands catch every true pair
-    * (b=16, r=4 at j≥0.5: miss probability < 1e-15 per pair). */
+    * (b=16, r=4 at j≥0.5: miss probability < 1e-15 per pair).
+    *
+    * Skew note: the one bucket this op cannot cap away is m IDENTICAL (or
+    * near-identical) texts — their pairs are TRUE dups, so a df-cap (the
+    * embedding/shingle guard) would drop real edges, yet m² join rows is
+    * the web-scale boilerplate blowup. The designed answer is the tiered
+    * cascade (`TieredDedup` / the streaming exact front tier): an exact
+    * record-hash tier collapses identical content to one survivor BEFORE
+    * this op, so the bucket this join sees is bounded by genuine lexical
+    * diversity. The empty-shingle filter below handles the other
+    * degenerate bucket (all short docs sketching identically). */
   def minhashLshDedup(docs: DataFrame, minJaccard: Double = 0.5,
       k: Int = 64, bands: Int = 16, rows: Int = 4): DataFrame = {
     val spark = docs.sparkSession
