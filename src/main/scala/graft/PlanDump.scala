@@ -25,6 +25,9 @@ object PlanDump {
     // tiered cascade: exact tier must stay one hash shuffle + semi-joins;
     // the embedding tier's input must already be frontier-pruned
     dump("q35_tiered_dedup")
+    // multi-probe ANN: the probe-vs-exact join must ship only (bk, id)
+    // longs, with the hot-set anti-join broadcast, never a vector shuffle
+    dump("q38_multiprobe_lsh")
     // image pipeline stages
     println("\n===== image signatures -> bands -> candidates =====")
     val (images, _) = graft.images.SyntheticCorpus.generate(spark, 5, 2, 5)
