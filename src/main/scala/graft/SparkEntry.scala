@@ -154,13 +154,11 @@ object SparkEntry {
     "q21_label_stats" -> ((s, dir) => EmbeddingOps.labelStats(rd(s, dir, "embeddings"))),
     "q22_ann_lsh" -> ((s, dir) => {
       val emb = rd(s, dir, "embeddings")
-      val banded = ops.TextOps.dropHotKeys(
-        OracleDump.dump("q22_banded", EmbeddingOps.lshBands(emb)),
-        "bk", 1000, "q22_ann_lsh") // skew guard, mirrored in the oracle SQL
-      val candidates = banded.select(col("bk"), col("vec_id").as("a"))
-        .join(banded.select(col("bk"), col("vec_id").as("b")), "bk")
-        .filter(col("a") < col("b")).select("a", "b").distinct()
-      EmbeddingOps.verifyCosPairs(candidates, emb, 0.4)
+      // skew guard (hot-bucket chain + cap) lives in lshCandidates and is
+      // mirrored relationally in the oracle SQL below
+      val banded = OracleDump.dump("q22_banded", EmbeddingOps.lshBands(emb))
+      EmbeddingOps.verifyCosPairs(
+        EmbeddingOps.lshCandidates(banded, 1000), emb, 0.4)
     }),
     "q38_multiprobe_lsh" -> ((s, dir) => {
       // multi-probe LSH: 4x fewer bands than q22 (24 vs 96), recall bought
@@ -791,10 +789,16 @@ object SparkEntry {
         |ORDER BY doc_a, doc_b""".stripMargin,
     "q22_ann_lsh" ->
       s"""WITH b0 AS (SELECT * FROM read_parquet('${OracleDump.glob("q22_banded")}')),
-        |b AS (SELECT * FROM b0 WHERE bk IN
-        |  (SELECT bk FROM b0 GROUP BY bk HAVING count(*) <= 1000)),
-        |cand AS (SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
-        |  FROM b x JOIN b y ON x.bk = y.bk AND x.vec_id < y.vec_id),
+        |occ AS (SELECT bk, count(*) AS c FROM b0 GROUP BY bk),
+        |b AS (SELECT b0.* FROM b0 JOIN occ USING (bk) WHERE c <= 1000),
+        |hot AS (SELECT b0.bk, b0.vec_id,
+        |    row_number() OVER (PARTITION BY b0.bk ORDER BY b0.vec_id) AS rn
+        |  FROM b0 JOIN occ USING (bk) WHERE c > 1000),
+        |cand AS (SELECT x.vec_id AS a, y.vec_id AS b
+        |    FROM b x JOIN b y ON x.bk = y.bk AND x.vec_id < y.vec_id
+        |  UNION
+        |  SELECT h1.vec_id AS a, h2.vec_id AS b
+        |    FROM hot h1 JOIN hot h2 ON h1.bk = h2.bk AND h2.rn = h1.rn + 1),
         |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
         |SELECT cand.a AS vec_a, cand.b AS vec_b,
         |  round(list_dot_product(ea.v, eb.v) /
@@ -806,12 +810,22 @@ object SparkEntry {
         |ORDER BY vec_a, vec_b""".stripMargin,
     "q38_multiprobe_lsh" ->
       s"""WITH p AS (SELECT * FROM read_parquet('${OracleDump.glob("q38_probes")}')),
-        |ex AS (SELECT * FROM p WHERE is_exact AND bk IN
-        |  (SELECT bk FROM p WHERE is_exact GROUP BY bk HAVING count(*) <= 1000)),
-        |cand AS (SELECT DISTINCT least(x.vec_id, y.vec_id) AS a,
+        |exr AS (SELECT bk, vec_id FROM p WHERE is_exact),
+        |exocc AS (SELECT bk, count(*) AS c FROM exr GROUP BY bk),
+        |keptex AS (SELECT exr.* FROM exr JOIN exocc USING (bk) WHERE c <= 1000),
+        |hotex AS (SELECT exr.bk, exr.vec_id,
+        |    row_number() OVER (PARTITION BY exr.bk ORDER BY exr.vec_id) AS rn
+        |  FROM exr JOIN exocc USING (bk) WHERE c > 1000),
+        |ner AS (SELECT bk, vec_id FROM p WHERE NOT is_exact),
+        |keptne AS (SELECT ner.* FROM ner WHERE bk IN
+        |  (SELECT bk FROM ner GROUP BY bk HAVING count(*) <= 1000)),
+        |q AS (SELECT * FROM keptex UNION ALL SELECT * FROM keptne),
+        |cand AS (SELECT least(x.vec_id, y.vec_id) AS a,
         |    greatest(x.vec_id, y.vec_id) AS b
-        |  FROM p x JOIN ex y ON x.bk = y.bk
-        |    AND x.vec_id <> y.vec_id),
+        |  FROM q x JOIN keptex y ON x.bk = y.bk AND x.vec_id <> y.vec_id
+        |  UNION
+        |  SELECT h1.vec_id AS a, h2.vec_id AS b
+        |    FROM hotex h1 JOIN hotex h2 ON h1.bk = h2.bk AND h2.rn = h1.rn + 1),
         |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
         |SELECT cand.a AS vec_a, cand.b AS vec_b,
         |  round(list_dot_product(ea.v, eb.v) /

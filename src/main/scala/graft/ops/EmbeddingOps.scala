@@ -121,32 +121,75 @@ object EmbeddingOps {
   def lshCosinePairs(emb: DataFrame, minCos: Double, planes: Int = 768,
       bands: Int = 96, rowsPerBand: Int = 8, dims: Int = 64,
       maxBucket: Int = 1000): DataFrame = {
-    // skewed-LSH-bucket guard (same contract as the text ops' hot-shingle
-    // cap): a degenerate direction shared by m vectors puts all m in ONE
-    // bucket per band — m² join rows × bands with no cap. Buckets with
-    // occupancy > maxBucket are excluded and LOGGED; a pair in a dropped
-    // bucket can still collide in any of its other bands. The band table
-    // feeds the occupancy count plus both join sides → materialized once.
-    val banded = TextOps.dropHotKeys(
-      lshBands(emb, planes, bands, rowsPerBand, dims).localCheckpoint(),
-      "bk", maxBucket, "lshCosinePairs")
-    val candidates = banded.select(col("bk"), col("vec_id").as("a"))
-      .join(banded.select(col("bk"), col("vec_id").as("b")), "bk")
+    // band table feeds the occupancy split plus both join sides →
+    // materialized once; skew handling lives in lshCandidates
+    val banded =
+      lshBands(emb, planes, bands, rowsPerBand, dims).localCheckpoint()
+    verifyCosPairs(lshCandidates(banded, maxBucket), emb, minCos)
+  }
+
+  /** The relational half of single-probe LSH search, from a materialized
+    * (vec_id, bk) band table (dumpable as oracle evidence — q22 reuses
+    * this exact implementation on its dumped table). Skewed-LSH-bucket
+    * guard: a degenerate direction shared by m vectors puts all m in ONE
+    * bucket per band — m² join rows × bands with no cap. Buckets with
+    * occupancy > `maxBucket` are split off (LOGGED, never silent) and
+    * contribute a sorted-adjacent CHAIN of pairs instead of all pairs:
+    * O(m) verified edges that keep every hot-bucket member connected for
+    * the downstream connected-components clustering, so a >maxBucket
+    * true-dup cluster still collapses — bounded evidence, full
+    * connectivity, no recall cliff at the cap. */
+  def lshCandidates(banded: DataFrame, maxBucket: Int = 1000): DataFrame = {
+    val (kept, hot) =
+      TextOps.splitHotKeys(banded, "bk", maxBucket, "lshCandidates")
+    val cold = kept.select(col("bk"), col("vec_id").as("a"))
+      .join(kept.select(col("bk"), col("vec_id").as("b")), "bk")
       .filter(col("a") < col("b"))
       .select("a", "b")
-      .distinct()
-    verifyCosPairs(candidates, emb, minCos)
+    cold.union(hotChain(hot)).distinct()
+  }
+
+  /** Sorted-adjacent pairs within each hot bucket: (i-th, i+1-th) member
+    * by vec_id order — the linear connectivity skeleton of the bucket
+    * (same idea as the image pipeline's sorted-neighbor candidates). The
+    * per-bucket window sorts each hot bucket on one task — O(m log m)
+    * where the join it replaces was O(m²); emitted edges are O(m). */
+  private def hotChain(hot: DataFrame): DataFrame = {
+    val w = Window.partitionBy("bk").orderBy("vec_id")
+    val rn = hot.select(col("bk"), col("vec_id"),
+      row_number().over(w).as("rn"))
+    rn.select(col("bk"), col("rn"), col("vec_id").as("a"))
+      .join(rn.select(col("bk"), (col("rn") - 1).as("rn"),
+        col("vec_id").as("b")), Seq("bk", "rn"))
+      .select("a", "b")
+  }
+
+  /** Band-id bits sit ABOVE the sign bits: the key starts at
+    * `band_id << rowsPerBand` and is then shifted left once per sign bit,
+    * so the band id lands at bit 2·rowsPerBand — the guard must count
+    * both shifts plus the id width (the old `rowsPerBand < 56` check
+    * let legal-looking parameters shift the band id off the Long and
+    * merge all bands into one key space). */
+  private def requireKeyFits(bands: Int, rowsPerBand: Int): Unit = {
+    val bandIdBits =
+      64 - java.lang.Long.numberOfLeadingZeros(math.max(bands - 1, 1).toLong)
+    require(2 * rowsPerBand + bandIdBits <= 63,
+      s"band key overflow: 2*$rowsPerBand sign-bit shifts + $bandIdBits " +
+        s"band-id bits exceed 63 — lower rowsPerBand or bands")
   }
 
   /** Sign-of-projection band keys: one row per (vector, band), key =
-    * (band_id << rowsPerBand) | r sign bits — a single Long equi-join /
+    * (band_id << 2·rowsPerBand) | r sign bits — a single Long equi-join /
     * partition key. Deterministic hyperplanes → reproducible across runs
     * and partitionings. */
   def lshBands(emb: DataFrame, planes: Int = 768, bands: Int = 96,
       rowsPerBand: Int = 8, dims: Int = 64): DataFrame = {
     require(bands * rowsPerBand <= planes)
-    require(rowsPerBand < 56, "band id must fit above the key bits")
-    val H = hyperplane(planes, dims)
+    requireKeyFits(bands, rowsPerBand)
+    // only plane indices < bands·rowsPerBand are ever read, and the
+    // generator depends on the absolute index only — sizing the table to
+    // the used prefix keeps identical keys at a fraction of the closure
+    val H = hyperplane(bands * rowsPerBand, dims)
     val keysUdf = udf((v: Seq[Float]) => {
       // fail fast, don't truncate: projecting a wider embedding onto the
       // first `dims` components silently uncorrelates the band keys from
@@ -194,16 +237,17 @@ object EmbeddingOps {
   def lshProbeBands(emb: DataFrame, planes: Int = 768, bands: Int = 24,
       rowsPerBand: Int = 8, dims: Int = 64, extraProbes: Int = 2): DataFrame = {
     require(bands * rowsPerBand <= planes)
-    require(rowsPerBand < 56, "band id must fit above the key bits")
+    requireKeyFits(bands, rowsPerBand)
     require(extraProbes >= 0 && extraProbes <= rowsPerBand,
       s"extraProbes $extraProbes must be in [0, rowsPerBand=$rowsPerBand]")
-    val H = hyperplane(planes, dims)
+    val H = hyperplane(bands * rowsPerBand, dims)
     val probesUdf = udf((v: Seq[Float]) => {
       require(v.length == dims,
         s"embedding dim ${v.length} != hyperplane dims $dims — pass dims=" +
           s"${v.length} to lshProbeBands")
       val out = new Array[(Long, Boolean)](bands * (1 + extraProbes))
       val margins = new Array[Double](rowsPerBand)
+      val order = new Array[Int](rowsPerBand)
       var o = 0
       var b = 0
       while (b < bands) {
@@ -219,11 +263,23 @@ object EmbeddingOps {
           r += 1
         }
         out(o) = (key, true); o += 1
-        // flip the extraProbes bits of smallest |projection|, one per probe
-        // key; bit for round r sits at shift (rowsPerBand - 1 - r)
-        val order = (0 until rowsPerBand).sortBy(r => (margins(r), r))
+        // flip the extraProbes bits of smallest |projection| (ties break
+        // by bit index), one per probe key; bit for round r sits at shift
+        // (rowsPerBand - 1 - r). Partial selection sort — no per-row
+        // Range/tuple allocation in the hot loop.
+        var i = 0
+        while (i < rowsPerBand) { order(i) = i; i += 1 }
         var e = 0
         while (e < extraProbes) {
+          var m = e
+          var j = e + 1
+          while (j < rowsPerBand) {
+            val oj = order(j); val om = order(m)
+            if (margins(oj) < margins(om) ||
+                (margins(oj) == margins(om) && oj < om)) m = j
+            j += 1
+          }
+          val t = order(e); order(e) = order(m); order(m) = t
           out(o) = (key ^ (1L << (rowsPerBand - 1 - order(e))), false); o += 1
           e += 1
         }
@@ -256,21 +312,32 @@ object EmbeddingOps {
 
   /** The relational half of multi-probe search, from a materialized
     * (vec_id, bk, is_exact) probe table (dumpable as oracle evidence):
-    * probe keys join exact keys, unordered-pair normalize, dedup. The
-    * skewed-bucket guard caps the EXACT side's occupancy — the persisted
-    * index side that multiplies the join — so a hot probe key finds no
-    * partner instead of m² rows; drops are logged (see
-    * `TextOps.dropHotKeys`) and the q38 oracle mirrors the cap. */
+    * probe keys join exact keys, unordered-pair normalize, dedup.
+    *
+    * Skew guard, both sides bounded (q38's oracle mirrors all of it):
+    *  - EXACT buckets with occupancy > `maxBucket` contribute a
+    *    sorted-adjacent chain (O(m) verified edges keeping every member
+    *    connected — see `lshCandidates`) instead of m² pairs.
+    *  - The NON-EXACT probe rows get their own per-bucket cap: a hot
+    *    foreign probe flood (m vectors one flip away from a kept bucket)
+    *    would otherwise multiply m × maxBucket join rows per band. A
+    *    bucket's own exact rows always participate, so the per-bucket
+    *    join bound is 2·maxBucket² — same order as single-probe.
+    * All drops are logged (`TextOps.splitHotKeys`). */
   def multiProbeCandidates(probes: DataFrame,
       maxBucket: Int = 1000): DataFrame = {
-    val exact = TextOps.dropHotKeys(probes.filter(col("is_exact")),
-      "bk", maxBucket, "multiProbeCandidates")
-    probes.select(col("bk"), col("vec_id").as("x"))
-      .join(exact.select(col("bk"), col("vec_id").as("y")), "bk")
+    val exactRows = probes.filter(col("is_exact")).select("bk", "vec_id")
+    val (keptEx, hotEx) = TextOps.splitHotKeys(exactRows, "bk", maxBucket,
+      "multiProbeCandidates.exact")
+    val keptPr = TextOps.dropHotKeys(
+      probes.filter(!col("is_exact")).select("bk", "vec_id"),
+      "bk", maxBucket, "multiProbeCandidates.probe")
+    val cold = keptEx.unionByName(keptPr).select(col("bk"), col("vec_id").as("x"))
+      .join(keptEx.select(col("bk"), col("vec_id").as("y")), "bk")
       .filter(col("x") =!= col("y"))
       .select(least(col("x"), col("y")).as("a"),
         greatest(col("x"), col("y")).as("b"))
-      .distinct()
+    cold.union(hotChain(hotEx)).distinct()
   }
 
   // --------------------------------------------------------------------

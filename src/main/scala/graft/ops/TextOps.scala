@@ -149,18 +149,29 @@ object TextOps {
     * which both operators' DuckDB oracles mirror — cannot drift between
     * them. */
   private[graft] def dropHotKeys(df: DataFrame, keyCol: String, maxDf: Int,
-      opLabel: String): DataFrame = {
+      opLabel: String): DataFrame =
+    splitHotKeys(df, keyCol, maxDf, opLabel)._1
+
+  /** Like `dropHotKeys`, but also RETURNS the hot-key rows so a caller can
+    * process them through a bounded fallback (e.g. the embedding ANN's
+    * connectivity-preserving chain over a hot bucket) instead of losing
+    * them. `(kept, hot)` partition the input; `hot` is empty (fast path:
+    * no join at all) when no key exceeds `maxDf`. */
+  private[graft] def splitHotKeys(df: DataFrame, keyCol: String, maxDf: Int,
+      opLabel: String): (DataFrame, DataFrame) = {
     val hot = df.groupBy(keyCol).agg(count(lit(1)).as("df"))
       .filter(col("df") > maxDf).select(keyCol)
     val hotRows = hot.collect()
-    if (hotRows.isEmpty) df
+    if (hotRows.isEmpty) (df, df.limit(0))
     else {
       org.slf4j.LoggerFactory.getLogger(getClass).warn(
-        s"$opLabel: dropped ${hotRows.length} keys with df > $maxDf " +
+        s"$opLabel: split off ${hotRows.length} keys with df > $maxDf " +
           "(hot-key guard); candidates are over the capped universe")
       import scala.jdk.CollectionConverters._
-      df.join(broadcast(df.sparkSession.createDataFrame(
-        hotRows.toList.asJava, hot.schema)), Seq(keyCol), "left_anti")
+      val hotDf = broadcast(df.sparkSession.createDataFrame(
+        hotRows.toList.asJava, hot.schema))
+      (df.join(hotDf, Seq(keyCol), "left_anti"),
+        df.join(hotDf, Seq(keyCol), "left_semi"))
     }
   }
 }

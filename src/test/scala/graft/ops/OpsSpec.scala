@@ -106,12 +106,15 @@ class OpsSpec extends AnyFunSuite {
     assert(again === multi)
   }
 
-  test("LSH skew guard: a degenerate mega-bucket is capped; isolated pairs survive") {
+  test("LSH skew guard: a mega-bucket collapses to a verified chain; isolated pairs survive") {
     import spark.implicits._
     // 40 identical vectors share EVERY band key — 40²×bands join rows with
     // no cap (the skewed-LSH-bucket case the north rule names). With
-    // maxBucket = 10 their buckets drop; the genuine near-dup pair in an
-    // orthogonal direction keeps its own cold buckets.
+    // maxBucket = 10 their buckets go through the chain fallback: O(m)
+    // sorted-adjacent VERIFIED pairs that keep the cluster connected for
+    // downstream components, instead of either m² pairs or (the old
+    // behavior) nothing at all. The genuine near-dup pair in an orthogonal
+    // direction keeps its own cold buckets.
     val hot = Array(1f, 0f, 0f, 0f)
     val vecs = (0L until 40L).map(i => (i, hot)) ++
       Seq((100L, Array(0f, 1f, 0f, 0f)), (101L, Array(0f, 1f, 0.05f, 0f)))
@@ -119,13 +122,39 @@ class OpsSpec extends AnyFunSuite {
     def ps(df: org.apache.spark.sql.DataFrame) =
       df.select("vec_a", "vec_b").collect()
         .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val chain = (0L until 39L).map(i => (i, i + 1)).toSet
     assert(ps(EmbeddingOps.multiProbeCosinePairs(embT, 0.9, dims = 4,
-      maxBucket = 10)) === Set((100L, 101L)))
+      maxBucket = 10)) === chain + ((100L, 101L)))
     assert(ps(EmbeddingOps.lshCosinePairs(embT, 0.9, dims = 4,
-      maxBucket = 10)) === Set((100L, 101L)))
+      maxBucket = 10)) === chain + ((100L, 101L)))
     // cap above the group size: the identical vectors pair up fully again
     assert(ps(EmbeddingOps.multiProbeCosinePairs(embT, 0.9, dims = 4,
       maxBucket = 1000)).size === 40 * 39 / 2 + 1)
+  }
+
+  test("multiProbeCandidates: per-bucket contract (chain, foreign-flood cap, probe join)") {
+    import spark.implicits._
+    // hand-built probe table pins the relational contract directly:
+    //  bk=1: 12 exact members, cap 10 -> hot -> adjacent chain only
+    //  bk=2: 3 exact members + 50 foreign probe rows (> cap) -> the flood
+    //        is dropped, intra-bucket pairs survive (the one-sided-cap bug
+    //        would have emitted 50x3 foreign pairs here)
+    //  bk=3: 2 exact members + 2 foreign probes (<= cap) -> probe rows
+    //        pair with BOTH exact members, not with each other
+    val rows =
+      (0L until 12L).map(i => (i, 1L, true)) ++
+      Seq(100L, 101L, 102L).map(i => (i, 2L, true)) ++
+      (200L until 250L).map(i => (i, 2L, false)) ++
+      Seq(300L, 301L).map(i => (i, 3L, true)) ++
+      Seq(400L, 401L).map(i => (i, 3L, false))
+    val probes = rows.toDF("vec_id", "bk", "is_exact")
+    val got = EmbeddingOps.multiProbeCandidates(probes, maxBucket = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want =
+      (0L until 11L).map(i => (i, i + 1)).toSet ++
+      Set((100L, 101L), (100L, 102L), (101L, 102L)) ++
+      Set((300L, 301L), (300L, 400L), (301L, 400L), (300L, 401L), (301L, 401L))
+    assert(got === want)
   }
 
   test("IVF ANN: probing all cells equals brute force; nprobe=4 has recall") {
