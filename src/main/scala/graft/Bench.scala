@@ -22,8 +22,17 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
+    quietCheckpointRelease()
     s
   }
+
+  /** Releasing a localCheckpoint emits a WARN per RDD ("lineage has been
+    * truncated and cannot be recomputed") — that is exactly the intended
+    * behavior of scoped release (graft.core.Checkpoints), so the rdd
+    * loggers are dialed down to ERROR for long sweep sessions. */
+  def quietCheckpointRelease(): Unit =
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.rdd", org.apache.logging.log4j.Level.ERROR)
 
   /** Times the full image dedup pipeline (min over `trials` runs on the
     * same cached corpus); returns (seconds, images). */
@@ -33,11 +42,16 @@ object Bench {
       spark, nGroups, variants, distractors)
     images.cache()
     val n = images.count() // materialize input outside the timed window
+    // baseline AFTER the corpus cache: each trial's sweep releases the
+    // pipeline's result checkpoint but never the shared input
+    val base = graft.core.Checkpoints.snapshot(spark)
     val sec = (1 to math.max(1, trials)).map { _ =>
       val t0 = System.nanoTime()
       graft.pipeline.Dedup.run(images, graft.pipeline.DedupConfig())
         .groupBy("cluster_id").count().count()
-      (System.nanoTime() - t0) / 1e9
+      val dt = (System.nanoTime() - t0) / 1e9
+      graft.core.Checkpoints.sweep(spark, base)
+      dt
     }.min
     images.unpersist()
     (sec, n)
@@ -76,11 +90,21 @@ object Bench {
     val selected = SparkEntry.queries.toSeq.sortBy(_._1).filter { case (n, _) =>
       only.forall(_.exists(n.contains))
     }
+    // per-query block hygiene: release every persistent RDD a query's
+    // trial created once its action is done. Without this the 38-query
+    // session accumulates every query's localCheckpoint blocks and storage
+    // pressure degrades later broadcast-heavy queries 17-25× (round-4
+    // verdict #1: q20 47.9 s in-sweep vs 1.9 s isolated). The sweep runs
+    // OUTSIDE the timed window: block release is session hygiene, not
+    // query work — and per-query wall now matches isolated runs.
+    val baseline = graft.core.Checkpoints.snapshot(spark)
     val results = selected.map { case (name, fn) =>
       val secs = (1 to trials).map { _ =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        (System.nanoTime() - t0) / 1e9
+        val dt = (System.nanoTime() - t0) / 1e9
+        graft.core.Checkpoints.sweep(spark, baseline)
+        dt
       }
       name -> secs.min
     }

@@ -41,8 +41,13 @@ object OracleDump {
   /** Write `df` under the evidence root and read it back, so both engines
     * consume byte-identical parquet evidence (bench mode: materialize only). */
   def dump(name: String, df: DataFrame): DataFrame = {
-    if (benchMode) df.localCheckpoint()
-    else {
+    if (benchMode) {
+      // already-materialized frames (operators checkpoint their dumpable
+      // intermediates) are passed through — a second checkpoint would just
+      // double the block storage the per-query sweep has to release
+      if (graft.core.Checkpoints.checkpointRddId(df).isDefined) df
+      else df.localCheckpoint()
+    } else {
       val p = s"$Root/$name"
       df.write.mode("overwrite").parquet(p)
       df.sparkSession.read.parquet(p)

@@ -147,6 +147,18 @@ object SparkEntry {
       TieredDedup.run(rd(s, dir, "documents"), rd(s, dir, "embeddings"),
         minJaccard = 0.5, minCos = 0.4).verdicts
     }),
+    "q39_tiered_approx" -> ((s, dir) => {
+      // the cascade's SCALE configuration under the oracle: tier 3 via
+      // multi-probe LSH (approxSem = true — the only path a 100-TB corpus
+      // can run; the exact broadcast tier is budget-guarded). The tier-3
+      // probe table is dumped as evidence; DuckDB re-derives tiers 1-2
+      // relationally (q35's CTEs) and then the probe candidate join, caps,
+      // chain + anchor edges, cosine verify, and closure (q38's CTEs) —
+      // so the scale path's verdicts are value-checked end-to-end.
+      TieredDedup.run(rd(s, dir, "documents"), rd(s, dir, "embeddings"),
+        minJaccard = 0.5, minCos = 0.4, approxSem = true,
+        tier3ProbeDump = df => OracleDump.dump("q39_probes", df)).verdicts
+    }),
     // ---- similarity search over embeddings ----
     "q19_knn_brute" -> ((s, dir) => EmbeddingOps.knnBrute(rd(s, dir, "embeddings"))),
     "q20_cosine_pairs" -> ((s, dir) =>
@@ -242,10 +254,15 @@ object SparkEntry {
       val wnd = Window.partitionBy("label").orderBy("vec_id")
       val e = e0.withColumn("rn", row_number().over(wnd))
         .filter(col("rn") <= cap).drop("rn")
-      val total = e0.count(); val kept = e.count()
-      if (kept < total)
-        println(s"q27: per-label cap $cap dropped ${total - kept} of " +
-          s"$total members from the pair histogram")
+      // cap-drop observability: two small counting jobs that are NOT
+      // pipeline work — skipped under bench timing (same contract as
+      // OracleDump evidence writes); the cap itself applies identically
+      if (!OracleDump.benchMode) {
+        val total = e0.count(); val kept = e.count()
+        if (kept < total)
+          println(s"q27: per-label cap $cap dropped ${total - kept} of " +
+            s"$total members from the pair histogram")
+      }
       val withNorm = e.select(col("vec_id"), col("label"), col("embedding"),
         EmbeddingOps.normCol(col("embedding")).as("nrm"))
       val a = withNorm.select(col("label"), col("vec_id").as("a"),
@@ -736,6 +753,78 @@ object SparkEntry {
         |  UNION ALL
         |  SELECT doc_id, 0, doc_id FROM l3 WHERE doc_id = c)
         |ORDER BY doc_id""".stripMargin,
+    "q39_tiered_approx" ->
+      // tiers 1-2 = q35's relational re-derivation; tier 3 = q38's probe
+      // candidate algebra over the dumped probe table + closure
+      s"""WITH RECURSIVE
+        |canon1 AS (SELECT text, min(doc_id) AS c FROM documents GROUP BY text),
+        |l1 AS (SELECT d.doc_id, canon1.c FROM documents d JOIN canon1 USING (text)),
+        |surv1 AS (SELECT doc_id FROM l1 WHERE doc_id = c),
+        |sh AS (SELECT doc_id, list_distinct(
+        |   [t[i] || ' ' || t[i+1] || ' ' || t[i+2] FOR i IN range(1, len(t)-1)]) AS sh
+        |  FROM (SELECT d.doc_id,
+        |    list_filter(regexp_split_to_array(d.text,'\\s+'), x -> x <> '') AS t
+        |    FROM documents d JOIN surv1 USING (doc_id))),
+        |p2 AS (SELECT a.doc_id AS a, b.doc_id AS b
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+        |   (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 4) >= 0.5),
+        |sym2 AS (SELECT a, b FROM p2 UNION SELECT b, a FROM p2),
+        |reach2(src, dst) AS (
+        |  SELECT a, b FROM sym2
+        |  UNION
+        |  SELECT r.src, s.b FROM reach2 r JOIN sym2 s ON r.dst = s.a),
+        |l2 AS (SELECT v.doc_id,
+        |    least(v.doc_id, coalesce(min(r.dst), v.doc_id)) AS c
+        |  FROM surv1 v LEFT JOIN reach2 r ON r.src = v.doc_id
+        |  GROUP BY v.doc_id),
+        |surv2 AS (SELECT doc_id FROM l2 WHERE doc_id = c),
+        |p AS (SELECT * FROM read_parquet('${OracleDump.glob("q39_probes")}')),
+        |exr AS (SELECT bk, vec_id FROM p WHERE is_exact),
+        |exocc AS (SELECT bk, count(*) AS c FROM exr GROUP BY bk),
+        |keptex AS (SELECT exr.* FROM exr JOIN exocc USING (bk) WHERE c <= 1000),
+        |hotex AS (SELECT exr.bk, exr.vec_id,
+        |    row_number() OVER (PARTITION BY exr.bk ORDER BY exr.vec_id) AS rn
+        |  FROM exr JOIN exocc USING (bk) WHERE c > 1000),
+        |ner AS (SELECT bk, vec_id FROM p WHERE NOT is_exact),
+        |keptne AS (SELECT ner.* FROM ner WHERE bk IN
+        |  (SELECT bk FROM ner GROUP BY bk HAVING count(*) <= 1000)),
+        |hotanchor AS (SELECT bk, min(vec_id) AS anchor FROM hotex GROUP BY bk),
+        |cand AS (SELECT x.vec_id AS a, y.vec_id AS b
+        |    FROM keptex x JOIN keptex y ON x.bk = y.bk AND x.vec_id < y.vec_id
+        |  UNION
+        |  SELECT least(x.vec_id, y.vec_id) AS a, greatest(x.vec_id, y.vec_id) AS b
+        |    FROM keptne x JOIN keptex y ON x.bk = y.bk AND x.vec_id <> y.vec_id
+        |  UNION
+        |  SELECT least(x.vec_id, h.anchor) AS a, greatest(x.vec_id, h.anchor) AS b
+        |    FROM keptne x JOIN hotanchor h ON x.bk = h.bk AND x.vec_id <> h.anchor
+        |  UNION
+        |  SELECT h1.vec_id AS a, h2.vec_id AS b
+        |    FROM hotex h1 JOIN hotex h2 ON h1.bk = h2.bk AND h2.rn = h1.rn + 1),
+        |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |p3 AS (SELECT cand.a, cand.b
+        |  FROM cand JOIN e ea ON ea.vec_id = cand.a JOIN e eb ON eb.vec_id = cand.b
+        |  WHERE list_dot_product(ea.v, eb.v) /
+        |   (sqrt(list_dot_product(ea.v, ea.v)) * sqrt(list_dot_product(eb.v, eb.v)))
+        |   >= 0.4),
+        |sym3 AS (SELECT a, b FROM p3 UNION SELECT b, a FROM p3),
+        |reach3(src, dst) AS (
+        |  SELECT a, b FROM sym3
+        |  UNION
+        |  SELECT r.src, s.b FROM reach3 r JOIN sym3 s ON r.dst = s.a),
+        |l3 AS (SELECT v.doc_id,
+        |    least(v.doc_id, coalesce(min(r.dst), v.doc_id)) AS c
+        |  FROM surv2 v LEFT JOIN reach3 r ON r.src = v.doc_id
+        |  GROUP BY v.doc_id)
+        |SELECT doc_id, tier, canonical_id FROM (
+        |  SELECT doc_id, 1 AS tier, c AS canonical_id FROM l1 WHERE doc_id <> c
+        |  UNION ALL
+        |  SELECT doc_id, 2, c FROM l2 WHERE doc_id <> c
+        |  UNION ALL
+        |  SELECT doc_id, 3, c FROM l3 WHERE doc_id <> c
+        |  UNION ALL
+        |  SELECT doc_id, 0, doc_id FROM l3 WHERE doc_id = c)
+        |ORDER BY doc_id""".stripMargin,
     "q17_minhash_lsh_dedup" ->
       """WITH s AS (SELECT doc_id, list_distinct(
         |   [t[i] || ' ' || t[i+1] || ' ' || t[i+2] FOR i IN range(1, len(t)-1)]) AS sh
@@ -819,10 +908,15 @@ object SparkEntry {
         |ner AS (SELECT bk, vec_id FROM p WHERE NOT is_exact),
         |keptne AS (SELECT ner.* FROM ner WHERE bk IN
         |  (SELECT bk FROM ner GROUP BY bk HAVING count(*) <= 1000)),
-        |q AS (SELECT * FROM keptex UNION ALL SELECT * FROM keptne),
-        |cand AS (SELECT least(x.vec_id, y.vec_id) AS a,
-        |    greatest(x.vec_id, y.vec_id) AS b
-        |  FROM q x JOIN keptex y ON x.bk = y.bk AND x.vec_id <> y.vec_id
+        |hotanchor AS (SELECT bk, min(vec_id) AS anchor FROM hotex GROUP BY bk),
+        |cand AS (SELECT x.vec_id AS a, y.vec_id AS b
+        |    FROM keptex x JOIN keptex y ON x.bk = y.bk AND x.vec_id < y.vec_id
+        |  UNION
+        |  SELECT least(x.vec_id, y.vec_id) AS a, greatest(x.vec_id, y.vec_id) AS b
+        |    FROM keptne x JOIN keptex y ON x.bk = y.bk AND x.vec_id <> y.vec_id
+        |  UNION
+        |  SELECT least(x.vec_id, h.anchor) AS a, greatest(x.vec_id, h.anchor) AS b
+        |    FROM keptne x JOIN hotanchor h ON x.bk = h.bk AND x.vec_id <> h.anchor
         |  UNION
         |  SELECT h1.vec_id AS a, h2.vec_id AS b
         |    FROM hotex h1 JOIN hotex h2 ON h1.bk = h2.bk AND h2.rn = h1.rn + 1),

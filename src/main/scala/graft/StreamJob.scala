@@ -39,14 +39,20 @@ import graft.streaming.StreamingDedup
   */
 object StreamJob {
   def main(args: Array[String]): Unit = {
-    if (args.length < 2) {
-      System.err.println(
-        "usage: graft.StreamJob <inputDir> <stateDir> [intervalSec|cluster]")
+    // --auto-resize (ingest modes only): when a compaction leaves the index
+    // base > 2x the per-partition target, run the stateP migration between
+    // batches automatically instead of waiting for an operator to notice
+    // metrics.recommended_p
+    val autoResize = args.contains("--auto-resize")
+    val pos = args.filterNot(_ == "--auto-resize")
+    if (pos.length < 2) {
+      System.err.println("usage: graft.StreamJob <inputDir> <stateDir> " +
+        "[intervalSec|cluster|resize <newP>] [--auto-resize]")
       sys.exit(2)
     }
-    val input = args(0)
-    val stateDir = args(1)
-    val mode = args.lift(2)
+    val input = pos(0)
+    val stateDir = pos(1)
+    val mode = pos.lift(2)
     val spark = Bench.makeSession(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
     def writeClusters(): Unit = {
       // incremental: folds only batches newer than the labels snapshot,
@@ -61,7 +67,7 @@ object StreamJob {
       case Some("cluster") =>
         writeClusters()
       case Some("resize") =>
-        val newP = args.lift(3).flatMap(_.toIntOption).getOrElse {
+        val newP = pos.lift(3).flatMap(_.toIntOption).getOrElse {
           System.err.println("usage: ... <inputDir> <stateDir> resize <newP>")
           sys.exit(2)
         }
@@ -70,7 +76,7 @@ object StreamJob {
         val trigger = other.map(s => Trigger.ProcessingTime(s.toInt * 1000L))
           .getOrElse(Trigger.AvailableNow())
         val q = StreamingDedup.run(spark, input, stateDir, DedupConfig(),
-          trigger, metrics = true)
+          trigger, metrics = true, autoResize = autoResize)
         q.awaitTermination()
         if (other.isEmpty) writeClusters()
     }

@@ -14,13 +14,18 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    Bench.quietCheckpointRelease()
     new java.io.File(outDir).mkdirs()
+    val baseline = graft.core.Checkpoints.snapshot(spark)
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // release each query's checkpoint blocks before the next runs (same
+      // long-session hygiene as Bench — 38 queries in one JVM)
+      graft.core.Checkpoints.sweep(spark, baseline)
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

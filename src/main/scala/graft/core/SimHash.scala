@@ -79,6 +79,26 @@ object SimHash {
     floatsToBits(acc)
   }
 
+  /** [[simhash128]] plus the per-bit |accumulator| margins — the
+    * flip-priority signal for multi-probe LSH (Lv et al., VLDB'07, applied
+    * to the permuted-band index): the smaller |acc| at a bit, the likelier
+    * that bit landed on the wrong side of the fold for a true
+    * near-neighbor, so query-side probes flip lowest-margin bits first.
+    * Margin indexing matches the accumulator layout ([[floatsToBits]]):
+    * index i < 64 is hi bit i, index 64+i is lo bit i. */
+  def simhash128WithMargins(features: Iterable[Feat],
+      cfg: SimHashConfig): (Long, Long, Array[Double]) = {
+    val acc = new Array[Double](128)
+    resolveFeatures(features, cfg)(new ResolvedConsumer {
+      def accept(h0: Long, h1: Long, w: Double): Unit =
+        addWeights(h0, h1, w, acc)
+    })
+    val (hi, lo) = floatsToBits(acc)
+    var i = 0
+    while (i < 128) { acc(i) = math.abs(acc(i)); i += 1 }
+    (hi, lo, acc)
+  }
+
   /** Unboxed sink for the resolved feature stream — a dedicated trait
     * (not `Function3`, which boxes all three primitive args) so the hot
     * per-record fold in [[simhash128]] allocates nothing per feature. */

@@ -13,6 +13,13 @@ import graft.images.ImageCodec
   */
 final case class Signature(sim_hi: Long, sim_lo: Long, minhash: Array[Long])
 
+/** [[Signature]] plus the fold's 128 per-bit |accumulator| margins — the
+  * multi-probe flip-priority signal. TRANSIENT by contract: margins ride
+  * the in-batch probe path only and are never persisted (1 KB/row of
+  * state for a signal that is free to recompute at featurize time). */
+final case class SignatureM(sim_hi: Long, sim_lo: Long, minhash: Array[Long],
+    margins: Array[Double])
+
 final case class FeaturizeConfig(
     simhash: SimHashConfig = SimHashConfig(),
     minhashK: Int = 64,
@@ -84,5 +91,16 @@ object ImageFeaturizer {
     val sketch = MinHash.sketch(
       captionShingles(caption, cfg.captionNgram), cfg.minhashK)
     Signature(hi, lo, sketch)
+  }
+
+  /** [[signature]] with the fold's margins exposed (bit-identical hash —
+    * same resolve + fold, spec-pinned). */
+  def signatureWithMargins(bytes: Array[Byte], caption: String,
+      cfg: FeaturizeConfig = FeaturizeConfig()): SignatureM = {
+    val (hi, lo, m) =
+      SimHash.simhash128WithMargins(features(bytes, caption, cfg), cfg.simhash)
+    val sketch = MinHash.sketch(
+      captionShingles(caption, cfg.captionNgram), cfg.minhashK)
+    SignatureM(hi, lo, sketch, m)
   }
 }

@@ -43,15 +43,43 @@ object SimIndex {
     * `matchfunctionsfromindex.cpp:165`), rank by (distance asc, id asc) and
     * take N (`simhashsearchindex.cpp:111-136`).
     *
-    * @param queries `(query_id, sim_hi, sim_lo)` — small batch (broadcast)
+    * With `extraProbes > 0` (multi-probe — Lv et al. applied to the
+    * permuted-band layout), each query band also probes that many
+    * flipped-key buckets, flipping its lowest-|fold-accumulator| key bits
+    * first; queries must then carry a `margins` column (the 128-entry
+    * array from `SimHash.simhash128WithMargins`). Probing buys back the
+    * recall a smaller `cfg.nBands` gives up — the INDEX side, which is
+    * what dominates storage at 10^12 rows, shrinks by the band ratio while
+    * only the per-query probe fan-out grows. Candidate semantics are
+    * unchanged: full-width Hamming verify, per-candidate dedup, same
+    * ranking (probing can only ADD candidates, never alter a distance).
+    *
+    * @param queries `(query_id, sim_hi, sim_lo[, margins])` — small batch
+    *   (broadcast)
     */
   def queryTopN(index: DataFrame, queries: DataFrame, n: Int,
-      minSimilarity: Double, cfg: DedupConfig = DedupConfig()): DataFrame = {
+      minSimilarity: Double, cfg: DedupConfig = DedupConfig(),
+      extraProbes: Int = 0): DataFrame = {
     val nb = cfg.nBands; val pb = cfg.prefixBits
-    val bandsUdf = udf((hi: Long, lo: Long) => Bands.simhashBands(hi, lo, nb, pb))
-    val probes = queries.select(col("query_id"),
-        col("sim_hi").as("q_hi"), col("sim_lo").as("q_lo"),
-        explode(bandsUdf(col("sim_hi"), col("sim_lo"))).as("bk"))
+    val probes0 =
+      if (extraProbes == 0) {
+        val bandsUdf =
+          udf((hi: Long, lo: Long) => Bands.simhashBands(hi, lo, nb, pb))
+        queries.select(col("query_id"),
+          col("sim_hi").as("q_hi"), col("sim_lo").as("q_lo"),
+          explode(bandsUdf(col("sim_hi"), col("sim_lo"))).as("bk"))
+      } else {
+        require(queries.columns.contains("margins"),
+          "multi-probe queries need a margins column " +
+            "(SimHash.simhash128WithMargins)")
+        val probeUdf = udf((hi: Long, lo: Long, m: Seq[Double]) =>
+          Bands.simhashBands(hi, lo, nb, pb) ++
+            Bands.simhashProbeBands(hi, lo, m.toArray, nb, pb, extraProbes))
+        queries.select(col("query_id"),
+          col("sim_hi").as("q_hi"), col("sim_lo").as("q_lo"),
+          explode(probeUdf(col("sim_hi"), col("sim_lo"), col("margins"))).as("bk"))
+      }
+    val probes = probes0
       .select(col("bk.band_id").as("band_id"), col("bk.band_key").as("band_key"),
         col("query_id"), col("q_hi"), col("q_lo"))
     val hits = broadcast(probes)

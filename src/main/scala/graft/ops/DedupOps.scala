@@ -45,7 +45,13 @@ object DedupOps {
     * diversity. The empty-shingle filter below handles the other
     * degenerate bucket (all short docs sketching identically). */
   def minhashLshDedup(docs: DataFrame, minJaccard: Double = 0.5,
-      k: Int = 64, bands: Int = 16, rows: Int = 4): DataFrame = {
+      k: Int = 64, bands: Int = 16, rows: Int = 4): DataFrame =
+    graft.core.Checkpoints.scoped(docs.sparkSession) {
+      minhashLshDedupImpl(docs, minJaccard, k, bands, rows)
+    }
+
+  private def minhashLshDedupImpl(docs: DataFrame, minJaccard: Double,
+      k: Int, bands: Int, rows: Int): DataFrame = {
     val spark = docs.sparkSession
     val shingleUdf = udf((toks: Seq[String]) =>
       toks.sliding(3).filter(_.size == 3).map(_.mkString(" ")).toArray.distinct
@@ -104,7 +110,13 @@ object DedupOps {
   /** Kernel half: `(doc_id, hi, lo, band_id, band_key)` — one row per
     * (document, permuted band). */
   def simhashBanded(docs: DataFrame, nBands: Int = 28,
-      prefixBits: Int = 8): DataFrame = {
+      prefixBits: Int = 8): DataFrame =
+    graft.core.Checkpoints.scoped(docs.sparkSession) {
+      simhashBandedImpl(docs, nBands, prefixBits)
+    }
+
+  private def simhashBandedImpl(docs: DataFrame, nBands: Int,
+      prefixBits: Int): DataFrame = {
     val simUdf = udf((toks: Seq[String]) => {
       val feats = toks.sliding(3).filter(_.size == 3)
         .map(w => Tuple3Feat(w(0), w(1), w(2))).toSeq

@@ -120,13 +120,14 @@ object EmbeddingOps {
     * table (q22). */
   def lshCosinePairs(emb: DataFrame, minCos: Double, planes: Int = 768,
       bands: Int = 96, rowsPerBand: Int = 8, dims: Int = 64,
-      maxBucket: Int = 1000): DataFrame = {
-    // band table feeds the occupancy split plus both join sides →
-    // materialized once; skew handling lives in lshCandidates
-    val banded =
-      lshBands(emb, planes, bands, rowsPerBand, dims).localCheckpoint()
-    verifyCosPairs(lshCandidates(banded, maxBucket), emb, minCos)
-  }
+      maxBucket: Int = 1000): DataFrame =
+    graft.core.Checkpoints.scoped(emb.sparkSession) {
+      // band table feeds the occupancy split plus both join sides →
+      // materialized once; skew handling lives in lshCandidates
+      val banded =
+        lshBands(emb, planes, bands, rowsPerBand, dims).localCheckpoint()
+      verifyCosPairs(lshCandidates(banded, maxBucket), emb, minCos)
+    }
 
   /** The relational half of single-probe LSH search, from a materialized
     * (vec_id, bk) band table (dumpable as oracle evidence — q22 reuses
@@ -135,10 +136,13 @@ object EmbeddingOps {
     * bucket per band — m² join rows × bands with no cap. Buckets with
     * occupancy > `maxBucket` are split off (LOGGED, never silent) and
     * contribute a sorted-adjacent CHAIN of pairs instead of all pairs:
-    * O(m) verified edges that keep every hot-bucket member connected for
-    * the downstream connected-components clustering, so a >maxBucket
-    * true-dup cluster still collapses — bounded evidence, full
-    * connectivity, no recall cliff at the cap. */
+    * O(m) edges that keep every hot-bucket member connected for the
+    * downstream connected-components clustering. Since chain edges still
+    * pass the exact-cosine verify, the no-recall-cliff guarantee holds when
+    * a hot bucket is one true-dup cluster (the identical-content case the
+    * spec pins — adjacent members then verify); a hot bucket containing
+    * SEVERAL distinct clusters interleaved by vec_id degrades gracefully
+    * but can split components the full m² join would have connected. */
   def lshCandidates(banded: DataFrame, maxBucket: Int = 1000): DataFrame = {
     val (kept, hot) =
       TextOps.splitHotKeys(banded, "bk", maxBucket, "lshCandidates")
@@ -303,12 +307,13 @@ object EmbeddingOps {
   def multiProbeCosinePairs(emb: DataFrame, minCos: Double,
       planes: Int = 768, bands: Int = 24, rowsPerBand: Int = 8,
       dims: Int = 64, extraProbes: Int = 2,
-      maxBucket: Int = 1000): DataFrame = {
-    val probes =
-      lshProbeBands(emb, planes, bands, rowsPerBand, dims, extraProbes)
-        .localCheckpoint()
-    verifyCosPairs(multiProbeCandidates(probes, maxBucket), emb, minCos)
-  }
+      maxBucket: Int = 1000): DataFrame =
+    graft.core.Checkpoints.scoped(emb.sparkSession) {
+      val probes =
+        lshProbeBands(emb, planes, bands, rowsPerBand, dims, extraProbes)
+          .localCheckpoint()
+      verifyCosPairs(multiProbeCandidates(probes, maxBucket), emb, minCos)
+    }
 
   /** The relational half of multi-probe search, from a materialized
     * (vec_id, bk, is_exact) probe table (dumpable as oracle evidence):
@@ -323,6 +328,9 @@ object EmbeddingOps {
     *    would otherwise multiply m × maxBucket join rows per band. A
     *    bucket's own exact rows always participate, so the per-bucket
     *    join bound is 2·maxBucket² — same order as single-probe.
+    *  - Kept probe rows aimed at a hot EXACT bucket get one anchor edge
+    *    each (to the bucket's min member), so probe-side neighbors of a
+    *    capped cluster stay connected instead of silently losing the band.
     * All drops are logged (`TextOps.splitHotKeys`). */
   def multiProbeCandidates(probes: DataFrame,
       maxBucket: Int = 1000): DataFrame = {
@@ -332,12 +340,34 @@ object EmbeddingOps {
     val keptPr = TextOps.dropHotKeys(
       probes.filter(!col("is_exact")).select("bk", "vec_id"),
       "bk", maxBucket, "multiProbeCandidates.probe")
-    val cold = keptEx.unionByName(keptPr).select(col("bk"), col("vec_id").as("x"))
+    // exact-vs-exact pairs are symmetric, so a < b produces each unordered
+    // pair ONCE; probe-vs-exact is not (only one side's key flipped), so it
+    // keeps x =!= y + normalize. The split halves the dominant exact-exact
+    // join/shuffle output vs a single x =!= y join over the union (the
+    // candidate SET is unchanged — distinct collapses orientation).
+    val exEx = keptEx.select(col("bk"), col("vec_id").as("a"))
+      .join(keptEx.select(col("bk"), col("vec_id").as("b")), "bk")
+      .filter(col("a") < col("b"))
+      .select("a", "b")
+    val prEx = keptPr.select(col("bk"), col("vec_id").as("x"))
       .join(keptEx.select(col("bk"), col("vec_id").as("y")), "bk")
       .filter(col("x") =!= col("y"))
       .select(least(col("x"), col("y")).as("a"),
         greatest(col("x"), col("y")).as("b"))
-    cold.union(hotChain(hotEx)).distinct()
+    // a kept probe row pointing INTO a hot EXACT bucket joins nothing above
+    // (keptEx excludes that bk, hotChain covers only the bucket's own
+    // members) — a query vector one bit-flip from a >maxBucket cluster
+    // would silently lose that band's candidate. Anchor each such probe
+    // row to the bucket's MINIMUM member: one bounded edge per probe row,
+    // connecting it to the bucket's chain skeleton. Few hot buckets by
+    // construction → broadcast.
+    val hotAnchor =
+      broadcast(hotEx.groupBy("bk").agg(min("vec_id").as("anchor")))
+    val prHot = keptPr.join(hotAnchor, "bk")
+      .filter(col("vec_id") =!= col("anchor"))
+      .select(least(col("vec_id"), col("anchor")).as("a"),
+        greatest(col("vec_id"), col("anchor")).as("b"))
+    exEx.union(prEx).union(prHot).union(hotChain(hotEx)).distinct()
   }
 
   // --------------------------------------------------------------------

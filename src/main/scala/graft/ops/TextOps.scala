@@ -112,7 +112,13 @@ object TextOps {
     * identical cap, so the operator semantics are "Jaccard over
     * df<=K shingles" in both engines. */
   def ngramJaccardPairs(docs: DataFrame, minJaccard: Double,
-      maxShingleDf: Int = 1000): DataFrame = {
+      maxShingleDf: Int = 1000): DataFrame =
+    graft.core.Checkpoints.scoped(docs.sparkSession) {
+      ngramJaccardPairsImpl(docs, minJaccard, maxShingleDf)
+    }
+
+  private def ngramJaccardPairsImpl(docs: DataFrame, minJaccard: Double,
+      maxShingleDf: Int): DataFrame = {
     // materialized once: the shingle table feeds the hot-key count, the
     // per-doc sizes, and BOTH sides of the intersection self-join — without
     // this the text scan + shingle explode runs four times per action

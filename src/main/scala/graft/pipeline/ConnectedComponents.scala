@@ -24,10 +24,13 @@ import org.apache.spark.sql.functions._
   *    previous iteration (a shuffle per iteration);
   *  - `localCheckpoint` after every round truncates lineage so the plan does
   *    not grow exponentially (the classic iterative-join failure mode).
-  * Labels are the vertex keys themselves (min = lexicographic), so the
-  * result is deterministic and partitioning-independent. At 10^12 rows a
-  * production deployment would dictionary-encode ids to longs first; the
-  * algorithm is unchanged.
+  * Labels are the vertex keys themselves (min in the key type's order:
+  * lexicographic for strings, numeric for longs), so the result is
+  * deterministic and partitioning-independent. The operator is generic
+  * over the key column type — every distributed step is min/least/equi-join
+  * algebra — with a dedicated driver-local union-find kernel per key shape
+  * (long keys are the production shape at 10^12 rows: an 8-byte shuffle
+  * key where a padded string costs 2.5x the bytes for pure ceremony).
   */
 object ConnectedComponents {
 
@@ -71,7 +74,10 @@ object ConnectedComponents {
       .localCheckpoint()
 
     if (sym.count() <= localEdgeThreshold) {
-      val labels = localUnionFind(spark, sym)
+      val labels = sym.schema("src").dataType match {
+        case org.apache.spark.sql.types.LongType => localUnionFindLong(spark, sym)
+        case _ => localUnionFind(spark, sym)
+      }
       unpersistCheckpoint(sym) // collected — nothing references it anymore
       val singletons = vertices.join(labels.select("id"), Seq("id"), "left_anti")
         .select(col("id"), col("id").as("cluster_id"))
@@ -135,18 +141,11 @@ object ConnectedComponents {
     labels.union(singletons)
   }
 
-  /** Release a `localCheckpoint`'s persisted RDD explicitly. Dataset
-    * .unpersist does NOT cover checkpoint storage (it only touches the
-    * cache manager), and the ContextCleaner frees it only after a GC
-    * notices the Dataset is unreachable — too lazy for an iterative loop
-    * that supersedes one checkpoint per round. No-op for non-checkpoint
-    * plans. */
+  /** Release a `localCheckpoint`'s persisted RDD explicitly (see
+    * [[graft.core.Checkpoints]] — this loop supersedes one checkpoint per
+    * round, far too fast for the GC-driven ContextCleaner). */
   private def unpersistCheckpoint(df: DataFrame): Unit =
-    df.queryExecution.logical match {
-      case lr: org.apache.spark.sql.execution.LogicalRDD =>
-        lr.rdd.unpersist(blocking = false); ()
-      case _ => ()
-    }
+    graft.core.Checkpoints.release(df)
 
   /** Driver-local path for small edge sets: classic union-find with path
     * compression + union by rank, then min id per root — exactly the
@@ -157,6 +156,14 @@ object ConnectedComponents {
     // typed collect: tuples of interned-free strings, no Row wrappers
     val e = sym.as[(String, String)].collect()
     labelsOf(e).toSeq.toDF("id", "cluster_id")
+  }
+
+  /** Long-keyed twin of [[localUnionFind]] — same contract (min id per
+    * component, numeric order), primitive arrays end to end. */
+  private def localUnionFindLong(spark: SparkSession, sym: DataFrame): DataFrame = {
+    import spark.implicits._
+    val e = sym.as[(Long, Long)].collect()
+    labelsOfLong(e).toSeq.toDF("id", "cluster_id")
   }
 
   /** The driver-side kernel, separated so UnionFindProbe can measure its
@@ -198,5 +205,46 @@ object ConnectedComponents {
       if (cur == null || names(i) < cur) minOf.put(r, names(i))
     }
     Array.tabulate(names.length)(i => (names(i), minOf.get(find(i))))
+  }
+
+  /** Long-keyed union-find kernel — identical structure to [[labelsOf]]
+    * with numeric min election; boxed only at the id-interning map. */
+  private[graft] def labelsOfLong(e: Array[(Long, Long)]): Array[(Long, Long)] = {
+    val index = new java.util.HashMap[java.lang.Long, Integer]()
+    val names = scala.collection.mutable.ArrayBuffer.empty[Long]
+    def idOf(s: Long): Int = {
+      val got = index.get(s)
+      if (got ne null) got.intValue()
+      else {
+        val i = names.length
+        index.put(s, Integer.valueOf(i)); names += s; i
+      }
+    }
+    val parent = scala.collection.mutable.ArrayBuffer.empty[Int]
+    val rank = scala.collection.mutable.ArrayBuffer.empty[Byte]
+    def find(x0: Int): Int = {
+      var x = x0
+      while (parent(x) != x) { parent(x) = parent(parent(x)); x = parent(x) }
+      x
+    }
+    e.foreach { case (as, bs) =>
+      val a = idOf(as); val b = idOf(bs)
+      while (parent.length < names.length) {
+        parent += parent.length; rank += 0
+      }
+      val ra = find(a); val rb = find(b)
+      if (ra != rb) {
+        if (rank(ra) < rank(rb)) parent(ra) = rb
+        else if (rank(ra) > rank(rb)) parent(rb) = ra
+        else { parent(rb) = ra; rank(ra) = (rank(ra) + 1).toByte }
+      }
+    }
+    val minOf = new java.util.HashMap[Int, java.lang.Long]()
+    names.indices.foreach { i =>
+      val r = find(i)
+      val cur = minOf.get(r)
+      if (cur == null || names(i) < cur) minOf.put(r, java.lang.Long.valueOf(names(i)))
+    }
+    Array.tabulate(names.length)(i => (names(i), minOf.get(find(i)).longValue()))
   }
 }

@@ -61,10 +61,17 @@ object Dedup {
     // images arrive as a handful of splits and starve the executors. Fan a
     // genuinely-starved scan out to the session's parallelism before
     // decoding — but never reshuffle the (heavy) image bytes when the scan
-    // already covers the cores.
+    // already covers the cores. For checkpointed inputs (the streaming /
+    // cascade callers) the partition count is read off the existing RDD —
+    // the `images.rdd` probe re-planned the whole upstream query per call.
     val target = images.sparkSession.sparkContext.defaultParallelism
+    val scanParts = images.queryExecution.logical match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.getNumPartitions
+      case _ => images.rdd.getNumPartitions
+    }
     val spread =
-      if (images.rdd.getNumPartitions < target) images.repartition(target * 2)
+      if (scanParts < target) images.repartition(target * 2)
       else images
     spread
       .select(col("image_id"), captionNormCol(col("caption")).as("caption_norm"),
@@ -315,20 +322,24 @@ object Dedup {
       images.select(col("image_id").as("id")))
       .withColumnRenamed("id", "image_id")
 
-  /** End-to-end: images → (image_id, cluster_id). */
-  def run(images: DataFrame, cfg: DedupConfig = DedupConfig()): DataFrame = {
-    val sigs = signatures(images, cfg).localCheckpoint()
-    // checkpoint: `verified` consumes candidates on two branches (Hamming
-    // accept + minhash-jaccard remainder) and Catalyst does not reuse common
-    // subplans across DataFrame branches — without this the whole
-    // band-sort-window DAG executes twice
-    val cands = candidatesMaterialized(bands(sigs, cfg), cfg)
-    // no .distinct() here: ConnectedComponents symmetrizes + distincts the
-    // edge set anyway — one shuffle instead of two
-    val pairs = verified(cands, sigs, cfg)
-      .union(substringPairs(sigs, cfg))
-    clusters(images, pairs)
-  }
+  /** End-to-end: images → (image_id, cluster_id). Scoped ([[graft.core
+    * .Checkpoints]]): the signature/candidate checkpoints are released once
+    * the clustering is materialized, so repeated runs in one session do not
+    * accumulate block storage. */
+  def run(images: DataFrame, cfg: DedupConfig = DedupConfig()): DataFrame =
+    graft.core.Checkpoints.scoped(images.sparkSession) {
+      val sigs = signatures(images, cfg).localCheckpoint()
+      // checkpoint: `verified` consumes candidates on two branches (Hamming
+      // accept + minhash-jaccard remainder) and Catalyst does not reuse
+      // common subplans across DataFrame branches — without this the whole
+      // band-sort-window DAG executes twice
+      val cands = candidatesMaterialized(bands(sigs, cfg), cfg)
+      // no .distinct() here: ConnectedComponents symmetrizes + distincts the
+      // edge set anyway — one shuffle instead of two
+      val pairs = verified(cands, sigs, cfg)
+        .union(substringPairs(sigs, cfg))
+      clusters(images, pairs)
+    }
 
   /** All predicted duplicate pairs implied by the clustering (for the recall
     * gate): within-cluster pairs, a < b. */

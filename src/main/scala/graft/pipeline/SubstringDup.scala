@@ -88,7 +88,13 @@ object SubstringDup {
     *         windows the two texts share (>= 1)
     */
   def sharedSpanPairs(spark: SparkSession, rows: DataFrame, w: Int = 40,
-      maxWindowDf: Int = 1000): DataFrame = {
+      maxWindowDf: Int = 1000): DataFrame =
+    graft.core.Checkpoints.scoped(spark) {
+      sharedSpanPairsImpl(spark, rows, w, maxWindowDf)
+    }
+
+  private def sharedSpanPairsImpl(spark: SparkSession, rows: DataFrame,
+      w: Int, maxWindowDf: Int): DataFrame = {
     // materialize the (hash, id) table once: it feeds the hot-window count
     // AND both sides of the self-join — without this the text scan + window
     // explode runs four times. The table is ids-only (~16 B/row, ~40% of

@@ -69,6 +69,7 @@ object TieredImageDedup {
     * over the same config). */
   def run(images: DataFrame, cfg: DedupConfig = DedupConfig()): Result = {
     val spark = images.sparkSession
+    val before = graft.core.Checkpoints.snapshot(spark)
 
     // ---- tier 1: exact record (one shuffle on the content hash; the
     // heavy bytes column never shuffles — only its digest does) ----
@@ -141,8 +142,15 @@ object TieredImageDedup {
       .select(col("image_id"), lit(0).as("tier"),
         col("image_id").as("canonical_id"))
 
-    Result(t1.union(t2).union(t3).union(kept).orderBy("image_id"),
-      nearPairs, subPairs)
+    val verdicts = t1.union(t2).union(t3).union(kept).orderBy("image_id")
+      .localCheckpoint()
+    // scoped release (graft.core.Checkpoints): the cascade's intermediate
+    // checkpoints (hashed, labeled1, sigs, cands, CC label tables) die
+    // here; only the three result frames stay persisted for the caller
+    val keepIds = Seq(verdicts, nearPairs, subPairs)
+      .flatMap(graft.core.Checkpoints.checkpointRddId).toSet
+    graft.core.Checkpoints.sweep(spark, before, keepIds)
+    Result(verdicts, nearPairs, subPairs)
   }
 
   /** Min-id transitive closure over string image ids (ConnectedComponents'

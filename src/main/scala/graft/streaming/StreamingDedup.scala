@@ -608,6 +608,24 @@ object StreamingDedup {
   def processBatch(spark: SparkSession, batch: DataFrame, stateDir: String,
       cfg: DedupConfig, batchId: Long = -1L, metrics: Boolean = false,
       stateP: Int = 64, compactEvery: Int = 8): Unit = {
+    // per-batch checkpoint scope: every frame this batch materializes
+    // (hashes, sigs, bands, window tables, candidates, pair log) is on
+    // disk in the state tables by batch end — nothing distributed survives
+    // the batch, so a long-running stream must not accumulate block
+    // storage across thousands of batches (graft.core.Checkpoints;
+    // clustersIncremental's label snapshot lives in a different call path
+    // and manages its own lifetime)
+    val beforeRdds = graft.core.Checkpoints.snapshot(spark)
+    try processBatchImpl(spark, batch, stateDir, cfg, batchId, metrics,
+      stateP, compactEvery)
+    finally {
+      graft.core.Checkpoints.sweep(spark, beforeRdds); ()
+    }
+  }
+
+  private def processBatchImpl(spark: SparkSession, batch: DataFrame,
+      stateDir: String, cfg: DedupConfig, batchId: Long, metrics: Boolean,
+      stateP: Int, compactEvery: Int): Unit = {
     val tWall0 = System.nanoTime()
     val probeLog = sys.env.contains("SPARK_GRAFT_STREAM_PROBE")
     var tPhase = tWall0
@@ -834,7 +852,9 @@ object StreamingDedup {
       cfg: DedupConfig = DedupConfig(),
       trigger: Trigger = Trigger.AvailableNow(),
       maxFilesPerTrigger: Int = 4, metrics: Boolean = false,
-      stateP: Int = 64, compactEvery: Int = 8): StreamingQuery = {
+      stateP: Int = 64, compactEvery: Int = 8,
+      autoResize: Boolean = false,
+      autoResizeTargetBytes: Long = 64L << 20): StreamingQuery = {
     val stream = spark.readStream
       .schema(imageSchema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
@@ -844,10 +864,54 @@ object StreamingDedup {
       .option("checkpointLocation", s"$stateDir/checkpoint")
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // the ACTIVE modulus is whatever the state carries (an auto-resize
+        // in an earlier batch supersedes the launch parameter); the launch
+        // value only seeds a fresh state dir
+        val p = persistedStateP(spark, stateDir).getOrElse(stateP)
         processBatch(spark, batch, stateDir, cfg, batchId, metrics,
-          stateP, compactEvery)
+          p, compactEvery)
+        if (autoResize) {
+          maybeAutoResize(spark, stateDir, p, autoResizeTargetBytes); ()
+        }
       }
       .start()
+  }
+
+  /** The stateP persisted with the state, if any (`<stateDir>/meta/state_p`). */
+  def persistedStateP(spark: SparkSession, stateDir: String): Option[Int] = {
+    val (fs, root) = fileSystem(spark, stateDir)
+    val f = new Path(new Path(root, "meta"), "state_p")
+    if (!fs.exists(f)) None
+    else {
+      val in = fs.open(f)
+      try Some(scala.io.Source.fromInputStream(in).mkString.trim.toInt)
+      finally in.close()
+    }
+  }
+
+  /** Between-batch auto-resize: when the committed index base has outgrown
+    * the active modulus by 2× (`recommendedStateP` > 2·active — the
+    * operator trigger `metrics.recommended_p` documents), run the offline
+    * `resizeStateP` migration and return the new modulus; otherwise return
+    * `active` unchanged. Safe exactly where `run`'s foreachBatch calls it:
+    * between two processBatch invocations the streaming query is the sole
+    * owner of the state dir, which is the resize's offline precondition.
+    * The trigger reads one FS content summary — no Spark job. */
+  def maybeAutoResize(spark: SparkSession, stateDir: String, active: Int,
+      targetBytes: Long = 64L << 20): Int = {
+    val (fs, _) = fileSystem(spark, stateDir)
+    val idxBase =
+      committedDirs(fs, new Path(s"$stateDir/index"), excludeBatch = None).base
+    val rec = idxBase.map(b => recommendedStateP(
+      fs.getContentSummary(b).getLength, active, targetBytes))
+    rec match {
+      case Some(r) if r > 2 * active =>
+        println(s"StreamingDedup: auto-resize stateP $active -> $r " +
+          s"(index base outgrew ${2 * active} x $targetBytes B target)")
+        resizeStateP(spark, stateDir, r)
+        r
+      case _ => active
+    }
   }
 
   val metricsSchema: StructType = StructType(Seq(

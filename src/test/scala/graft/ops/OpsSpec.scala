@@ -287,6 +287,19 @@ class OpsSpec extends AnyFunSuite {
       s"approx tier-3 pair recall ${apPairs.size}/${exPairs.size}")
   }
 
+  test("tiered dedup exact tier-3 fails fast past the broadcast budget") {
+    // survivors * 64 dims * 4 B far exceeds a 1-byte budget -> the guard
+    // must fire BEFORE any broadcast attempt, naming the scale path
+    val ex = intercept[IllegalArgumentException] {
+      TieredDedup.run(docs, emb, maxExactBroadcastBytes = 1L)
+    }
+    assert(ex.getMessage.contains("approxSem = true"), ex.getMessage)
+    // the approx path ignores the exact budget entirely
+    val ok = TieredDedup.run(docs, emb, approxSem = true,
+      maxExactBroadcastBytes = 1L)
+    assert(ok.verdicts.count() === docs.count())
+  }
+
   test("tiered dedup on the sf tables: partition of all docs, tiers consistent with single-tier ops") {
     val res = TieredDedup.run(docs, emb)
     val v = res.verdicts.cache()

@@ -176,6 +176,36 @@ class DedupPipelineSpec extends AnyFunSuite {
     assert(loc.filter(col("cluster_id") === "v0000").count() === n)
   }
 
+  test("connected components: long-native keys, labels identical to the order-preserving string encoding") {
+    import spark.implicits._
+    // mixed-sign ids: numeric min differs from naive lexicographic order
+    // (-2 < -1, "−1" < "−2" as text) — the case the old padding existed for
+    val edges = Seq((-1L, -2L), (-2L, 3L), (-5L, -4L), (7L, 8L)).toDF("a", "b")
+    val vertices = Seq(-5L, -4L, -2L, -1L, 3L, 7L, 8L, 9L).toDF("id")
+    val expect = Map(-1L -> -2L, -2L -> -2L, 3L -> -2L,
+      -5L -> -5L, -4L -> -5L, 7L -> 7L, 8L -> 7L, 9L -> 9L)
+    def run(th: Long) = ConnectedComponents.run(spark, edges, vertices,
+        localEdgeThreshold = th)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(run(Long.MaxValue) === expect) // driver union-find, long kernel
+    assert(run(0L) === expect) // distributed pointer-doubling loop
+    // the pre-r5 sign-aware string encoding decodes to the SAME labels —
+    // the long-native path changed bytes on the wire, not semantics
+    def pad(c: org.apache.spark.sql.Column) =
+      when(c >= 0, concat(lit("1"), format_string("%019d", c)))
+        .otherwise(concat(lit("0"),
+          format_string("%019d", c - lit(Long.MinValue))))
+    def unpad(c: org.apache.spark.sql.Column) =
+      when(substring(c, 1, 1) === "1", substring(c, 2, 19).cast("long"))
+        .otherwise(substring(c, 2, 19).cast("long") + lit(Long.MinValue))
+    val dec = ConnectedComponents.run(spark,
+        edges.select(pad(col("a")).as("a"), pad(col("b")).as("b")),
+        vertices.select(pad(col("id")).as("id")), localEdgeThreshold = 0L)
+      .select(unpad(col("id")).as("id"), unpad(col("cluster_id")).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(dec === expect)
+  }
+
   test("degenerate identical-signature run: linear chain pairs, no quadratic blowup (skew guard)") {
     import spark.implicits._
     val cfg = DedupConfig(sortedWindow = 8, hotBucketThreshold = 5)

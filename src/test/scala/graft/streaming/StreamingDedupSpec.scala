@@ -354,6 +354,53 @@ class StreamingDedupSpec extends AnyFunSuite {
       s"missed ${truthPairs.diff(resizedPairs).size} truth pairs after resize")
   }
 
+  test("auto-resize fires between batches; pair history survives the boundary") {
+    val cfg = DedupConfig()
+    val root = Files.createTempDirectory("graft-stream-autoresize").toString
+    val state = s"$root/state"
+    val control = s"$root/control"
+    val (images, truth) = SyntheticCorpus.generate(spark,
+      nGroups = 8, variantsPerGroup = 3, nDistractors = 8)
+    val rows = images.localCheckpoint()
+    val ids = rows.select("image_id").collect().map(_.getString(0)).sorted
+    val chunks = ids.grouped(8).toSeq
+    def ingest(dir: String, chunk: Seq[String], id: Long, p: Int): Unit =
+      StreamingDedup.processBatch(spark,
+        rows.filter(col("image_id").isin(chunk: _*)), dir, cfg,
+        batchId = id, stateP = p, compactEvery = 2)
+    // exactly run()'s autoResize wiring: active modulus = persisted state,
+    // maybeAutoResize between batches; a tiny per-partition target forces
+    // the trigger (recommended > 2x active) as soon as a base exists
+    var resizes = 0
+    chunks.zipWithIndex.foreach { case (c, i) =>
+      val p = StreamingDedup.persistedStateP(spark, state).getOrElse(4)
+      ingest(state, c, i.toLong, p)
+      val np = StreamingDedup.maybeAutoResize(spark, state, p,
+        targetBytes = 1024L)
+      if (np != p) resizes += 1
+    }
+    assert(resizes >= 1, "auto-resize never fired")
+    // the migrated modulus is persisted and consistent
+    val finalP = StreamingDedup.persistedStateP(spark, state).get
+    assert(finalP > 4)
+    // control stream: constant stateP, no resize — identical dup decisions
+    chunks.zipWithIndex.foreach { case (c, i) =>
+      ingest(control, c, i.toLong, 4)
+    }
+    val autoPairs = pairSet(StreamingDedup.clustersFromState(spark, state))
+    val controlPairs =
+      pairSet(StreamingDedup.clustersFromState(spark, control))
+    assert(autoPairs === controlPairs)
+    val tl = truth.select(col("group_id"), col("image_id").as("a"))
+    val tr = truth.select(col("group_id"), col("image_id").as("b"))
+    val truthPairs = tl.join(tr, "group_id").filter(col("a") < col("b"))
+      .select("a", "b").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(truthPairs.subsetOf(autoPairs),
+      s"missed ${truthPairs.diff(autoPairs).size} truth pairs across the " +
+        s"auto-resize boundary ($resizes resizes, final stateP $finalP)")
+  }
+
   test("interrupted resize refuses ingest until re-run; re-run completes and clears the marker") {
     val cfg = DedupConfig()
     val root = Files.createTempDirectory("graft-stream-resize-crash").toString
