@@ -19,6 +19,15 @@ import graft.lsh.Bands
 final case class DedupConfig(
     nBands: Int = 28,
     prefixBits: Int = 8,
+    // query-side multi-probe flips per band (0 = off). With probes on, the
+    // PERSISTED simhash band count (`nBands`) can shrink several-fold at
+    // equal recall: new rows additionally probe `bandProbes` flipped-key
+    // buckets per band (lowest fold-margin bits first — Lv et al.), but
+    // only exact-key rows are ever stored. At 10^12 rows the stored
+    // bands-x-rows volume dominates state, so e.g. nBands=8/bandProbes=3
+    // carries ~3.5x less index state than the 28-band default (the A/B in
+    // StreamingDedupSpec measures it).
+    bandProbes: Int = 0,
     maxHamming: Int = 25,
     minhashBands: Int = 16,
     minhashRows: Int = 4,
@@ -52,10 +61,26 @@ object Dedup {
     * (image_id, caption, sim_hi, sim_lo, minhash). The fold is row-local
     * (SURVEY.md §2.4 A1): a scalar UDF inside a projection, no shuffle.
     * Column pruning keeps `bytes` out of every downstream stage. */
-  def signatures(images: DataFrame, cfg: DedupConfig): DataFrame = {
+  def signatures(images: DataFrame, cfg: DedupConfig): DataFrame =
+    signaturesImpl(images, cfg, withMargins = false)
+
+  /** [[signatures]] plus the fold's 128-entry margin column — the
+    * multi-probe flip-priority signal, computed in the SAME decode pass
+    * (the hash is bit-identical; only |accumulator| values ride along).
+    * Margins are transient by contract: consumers drop the column before
+    * any persist/shuffle that does not need it. */
+  def signaturesWithMargins(images: DataFrame, cfg: DedupConfig): DataFrame =
+    signaturesImpl(images, cfg, withMargins = true)
+
+  private def signaturesImpl(images: DataFrame, cfg: DedupConfig,
+      withMargins: Boolean): DataFrame = {
     val fz = cfg.featurize
-    val sigUdf = udf((bytes: Array[Byte], caption: String) =>
-      ImageFeaturizer.signature(bytes, caption, fz))
+    val sigUdf =
+      if (withMargins)
+        udf((bytes: Array[Byte], caption: String) =>
+          ImageFeaturizer.signatureWithMargins(bytes, caption, fz))
+      else udf((bytes: Array[Byte], caption: String) =>
+        ImageFeaturizer.signature(bytes, caption, fz))
     // decode is CPU-bound per ROW, but scan splits are sized by BYTES
     // (spark.sql.files.maxPartitionBytes): a few hundred MB of compressed
     // images arrive as a handful of splits and starve the executors. Fan a
@@ -73,12 +98,14 @@ object Dedup {
     val spread =
       if (scanParts < target) images.repartition(target * 2)
       else images
-    spread
+    val base = spread
       .select(col("image_id"), captionNormCol(col("caption")).as("caption_norm"),
         sigUdf(col("bytes"), col("caption")).as("sig"))
-      .select(col("image_id"), col("caption_norm"),
-        col("sig.sim_hi").as("sim_hi"), col("sig.sim_lo").as("sim_lo"),
-        col("sig.minhash").as("minhash"))
+    val cols = Seq(col("image_id"), col("caption_norm"),
+      col("sig.sim_hi").as("sim_hi"), col("sig.sim_lo").as("sim_lo"),
+      col("sig.minhash").as("minhash")) ++
+      (if (withMargins) Seq(col("sig.margins").as("margins")) else Nil)
+    base.select(cols: _*)
   }
 
   /** Stage 2 — LSH banding: explode each signature into one row per band,
@@ -94,6 +121,27 @@ object Dedup {
       Bands.simhashBands(hi, lo, nb, pb) ++ Bands.minhashBands(mh, mb, mr, pb))
     sigs.select(col("image_id"), col("sim_hi"), col("sim_lo"),
         explode(bandsUdf(col("sim_hi"), col("sim_lo"), col("minhash"))).as("bk"))
+      .select(col("bk.band_id").as("band_id"), col("bk.band_key").as("band_key"),
+        col("bk.sort_hi").as("sort_hi"), col("bk.sort_lo").as("sort_lo"),
+        col("image_id"), col("sim_hi"), col("sim_lo"))
+  }
+
+  /** Stage 2b — query-side multi-probe rows (simhash family only; minhash
+    * caption bands are unprobed): per band, `cfg.bandProbes` extra rows,
+    * each flipping ONE lowest-margin bucket-key bit of the row's own fold
+    * (`Bands.simhashProbeBands`). Same schema as [[bands]]; `sort_hi`
+    * carries the flip so probe rows sort adjacent to the probed bucket's
+    * true members in the sliding-window candidate pass. TRANSIENT: probe
+    * rows join/collide only — they are never persisted into index state
+    * (that is the whole point: probing on the query side buys a smaller
+    * stored band count). Input must carry `margins`
+    * ([[signaturesWithMargins]]). */
+  def probeBands(sigsM: DataFrame, cfg: DedupConfig): DataFrame = {
+    val nb = cfg.nBands; val pb = cfg.prefixBits; val k = cfg.bandProbes
+    val probeUdf = udf((hi: Long, lo: Long, m: Seq[Double]) =>
+      Bands.simhashProbeBands(hi, lo, m.toArray, nb, pb, k))
+    sigsM.select(col("image_id"), col("sim_hi"), col("sim_lo"),
+        explode(probeUdf(col("sim_hi"), col("sim_lo"), col("margins"))).as("bk"))
       .select(col("bk.band_id").as("band_id"), col("bk.band_key").as("band_key"),
         col("bk.sort_hi").as("sort_hi"), col("bk.sort_lo").as("sort_lo"),
         col("image_id"), col("sim_hi"), col("sim_lo"))

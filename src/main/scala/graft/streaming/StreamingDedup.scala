@@ -693,8 +693,23 @@ object StreamingDedup {
     val survivors = batch.join(keeperHashes.select("image_id"),
       Seq("image_id"), "left_semi")
     phase("exact tier")
-    val sigs = Dedup.signatures(survivors, cfg).localCheckpoint()
+    // multi-probe mode (cfg.bandProbes > 0): the fold's margins ride the
+    // in-batch signature frame so probe rows can flip the lowest-margin
+    // key bits; the PERSISTED sigs/index tables never see margins or probe
+    // rows — probing is query-side only, which is what lets cfg.nBands
+    // (the stored band count, the dominant state volume) shrink
+    val sigsAll =
+      (if (cfg.bandProbes > 0) Dedup.signaturesWithMargins(survivors, cfg)
+       else Dedup.signatures(survivors, cfg)).localCheckpoint()
+    val sigs =
+      if (cfg.bandProbes > 0) sigsAll.drop("margins") else sigsAll
     val newBands = Dedup.bands(sigs, cfg).localCheckpoint()
+    // exact + probe rows: everything this batch PROBES with (per-band
+    // flipped-key rows collide with stored exact keys one bit-flip away)
+    val probeSet =
+      if (cfg.bandProbes > 0)
+        newBands.unionByName(Dedup.probeBands(sigsAll, cfg).localCheckpoint())
+      else newBands
     phase("featurize+bands")
     // replay: withdraw this batch's ONE commit marker BEFORE touching its
     // files, so a concurrent clustersFromState never reads mid-overwrite —
@@ -716,16 +731,16 @@ object StreamingDedup {
     val touched0 =
       if (!hasState) noneTouched
       else touchedPartitionsMulti(Seq(
-        ("idx", newBands, Seq(col("band_id"), col("band_key"))),
+        ("idx", probeSet, Seq(col("band_id"), col("band_key"))),
         ("anch", newWins, Seq(col("k"))), // anchors pruned by new window keys
         ("wins", newAnch, Seq(col("k")))), stateP)
     phase("touched partitions")
     // bucket probe, two levels: (1) directory prune — only base partitions
-    // holding a bucket this batch touches are even listed; (2) exact
-    // left-semi on the bucket key
+    // holding a bucket this batch touches (exact OR probe key) are even
+    // listed; (2) exact left-semi on the bucket key
     val (oldBands0, idxStats) = readState(spark, indexPath, newBands.schema,
       self, Some(touched0("idx")), metrics)
-    val touched = newBands.select("band_id", "band_key").distinct()
+    val touched = probeSet.select("band_id", "band_key").distinct()
     val relevantOld0 = oldBands0
       .join(touched, Seq("band_id", "band_key"), "left_semi")
     // metrics mode materializes the (bucket-pruned, so small) probe result
@@ -733,7 +748,7 @@ object StreamingDedup {
     // recomputation of the state read + semi-join
     val relevantOld =
       if (metrics) relevantOld0.localCheckpoint() else relevantOld0
-    val relevant = relevantOld.union(newBands)
+    val relevant = relevantOld.union(probeSet)
     val cands = Dedup.candidatesMaterialized(relevant, cfg)
     phase("index probe+candidates")
     // incremental substring pass: only joins touching a NEW row — new

@@ -354,6 +354,71 @@ class StreamingDedupSpec extends AnyFunSuite {
       s"missed ${truthPairs.diff(resizedPairs).size} truth pairs after resize")
   }
 
+  test("multi-probe band index: 8 bands + 3 probes keeps truth recall at a fraction of 28-band state") {
+    val root = Files.createTempDirectory("graft-stream-multiprobe").toString
+    val (images, truth) = SyntheticCorpus.generate(spark,
+      nGroups = 10, variantsPerGroup = 3, nDistractors = 10)
+    val rows = images.localCheckpoint()
+    val ids = rows.select("image_id").collect().map(_.getString(0)).sorted
+    val chunks = ids.grouped(10).toSeq
+    def ingestAll(dir: String, cfg: DedupConfig): Unit =
+      chunks.zipWithIndex.foreach { case (c, i) =>
+        StreamingDedup.processBatch(spark,
+          rows.filter(col("image_id").isin(c: _*)), dir, cfg,
+          batchId = i.toLong, stateP = 8, compactEvery = 2)
+      }
+    val stateA = s"$root/full28" // the 28-band default, no probes
+    val stateB = s"$root/probe8" // 8 stored bands, 3 query-side flips each
+    ingestAll(stateA, DedupConfig())
+    ingestAll(stateB, DedupConfig(nBands = 8, bandProbes = 3))
+    val tl = truth.select(col("group_id"), col("image_id").as("a"))
+    val tr = truth.select(col("group_id"), col("image_id").as("b"))
+    val truthPairs = tl.join(tr, "group_id").filter(col("a") < col("b"))
+      .select("a", "b").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    val pairsA = pairSet(StreamingDedup.clustersFromState(spark, stateA))
+    val pairsB = pairSet(StreamingDedup.clustersFromState(spark, stateB))
+    assert(truthPairs.subsetOf(pairsA), "28-band baseline lost truth pairs")
+    assert(truthPairs.subsetOf(pairsB),
+      s"8-band+3-probe config lost ${truthPairs.diff(pairsB).size} truth pairs")
+    // the persisted index (bands x rows — the volume that dominates state
+    // at corpus scale) must shrink with the stored band count: 8 simhash +
+    // 16 minhash vs 28 + 16 band rows per record => ~0.55x the ROWS. Rows
+    // are the scale-faithful measure; raw bytes at this toy scale are
+    // footer/metadata-dominated (dozens of tiny parquet files), so they
+    // shrink less and are only reported.
+    val bandSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("band_id",
+        org.apache.spark.sql.types.IntegerType),
+      org.apache.spark.sql.types.StructField("band_key",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("sort_hi",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("sort_lo",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("image_id",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("sim_hi",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("sim_lo",
+        org.apache.spark.sql.types.LongType)))
+    def indexRows(dir: String): Long =
+      StreamingDedup.readCommitted(spark, dir, "index", bandSchema).count()
+    def du(p: java.io.File): Long =
+      if (p.isFile) p.length
+      else if (p.isDirectory) p.listFiles.map(du).sum
+      else 0L
+    val rowsA = indexRows(stateA)
+    val rowsB = indexRows(stateB)
+    val bytesA = du(new java.io.File(s"$stateA/index"))
+    val bytesB = du(new java.io.File(s"$stateB/index"))
+    println(f"index state: 28-band $rowsA%,d rows / $bytesA%,d B; " +
+      f"8-band+3probes $rowsB%,d rows / $bytesB%,d B; row ratio " +
+      f"${rowsB.toDouble / rowsA}%.3f, byte ratio ${bytesB.toDouble / bytesA}%.2f")
+    assert(rowsB < 0.6 * rowsA,
+      s"expected a materially smaller stored index: $rowsB vs $rowsA rows")
+  }
+
   test("auto-resize fires between batches; pair history survives the boundary") {
     val cfg = DedupConfig()
     val root = Files.createTempDirectory("graft-stream-autoresize").toString
