@@ -461,6 +461,80 @@ object SparkEntry {
       graft.streaming.StreamingDedup.clustersFromState(s, stateDir)
         .orderBy("image_id")
     }),
+    "q40_stream_multiprobe" -> ((s, _) => {
+      // the REDUCED-band multi-probe streaming config under the oracle —
+      // the state-volume scale path (stored simhash bands 28 -> 8 per
+      // record; recall bought back by 3 query-side flipped-key probes per
+      // band, Lv et al. flip priority from the fold's own margins). The
+      // corpus is split INSIDE every dup group across two micro-batches,
+      // so batch 2's variants can only find their batch-1 partners by
+      // probing COMMITTED state — the flipped-key probe path end-to-end.
+      // DuckDB re-derives the clusters from the dumped pair log (q32's CC
+      // shape) and the truth recall from the dumped planted pairs; the
+      // result row also carries the persisted simhash band-row count, so
+      // the "probe rows are never stored" volume contract (8 bands/record,
+      // not 8 + 24 probes) is part of the gate artifact.
+      val cfg = DedupConfig(nBands = 8, bandProbes = 3)
+      val stateDir = s"${OracleDump.Root}/q40_state"
+      deleteRecursively(new java.io.File(stateDir))
+      val (images, truth) = OracleDump.sharedCorpus(s, 40, 3, 30)
+      // group members alternate sides (row_number mod 2 within group);
+      // distractors split by id hash — deterministic, straddles every group
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("group_id").orderBy("image_id")
+      val sides = truth.select(col("image_id"),
+        (row_number().over(w) % 2).as("side"))
+      val sided = images.join(sides, Seq("image_id"), "left")
+        .withColumn("side",
+          coalesce(col("side"), pmod(crc32(col("image_id")), lit(2)).cast("int")))
+      def ingest(sideVal: Int, id: Long): Unit =
+        graft.streaming.StreamingDedup.processBatch(s,
+          sided.filter(col("side") === sideVal).drop("side"), stateDir, cfg,
+          batchId = id, stateP = 8, compactEvery = 4)
+      ingest(0, 0L)
+      ingest(1, 1L)
+      OracleDump.dump("q40_pairs",
+        graft.streaming.StreamingDedup.pairsFromState(s, stateDir).distinct())
+      OracleDump.dump("q40_ids", images.select("image_id"))
+      val tl = truth.select(col("group_id"), col("image_id").as("a"))
+      val tr = truth.select(col("group_id"), col("image_id").as("b"))
+      val truthPairs = OracleDump.dump("q40_truth",
+        tl.join(tr, "group_id").filter(col("a") < col("b")).select("a", "b"))
+      val bandSchema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("band_id",
+          org.apache.spark.sql.types.IntegerType),
+        org.apache.spark.sql.types.StructField("band_key",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("sort_hi",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("sort_lo",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("image_id",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("sim_hi",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("sim_lo",
+          org.apache.spark.sql.types.LongType)))
+      val idx = OracleDump.dump("q40_index",
+        graft.streaming.StreamingDedup.readCommitted(s, stateDir, "index",
+          bandSchema).select("band_id", "image_id"))
+      val clusters = graft.streaming.StreamingDedup
+        .clustersFromState(s, stateDir).localCheckpoint()
+      val la = clusters.select(col("image_id").as("a"), col("cluster_id").as("la"))
+      val lb = clusters.select(col("image_id").as("b"), col("cluster_id").as("lb"))
+      val hit = truthPairs.join(la, "a").join(lb, "b")
+        .agg(sum(when(col("la") === col("lb"), 1L).otherwise(0L)).as("truth_hit"),
+          count(lit(1)).as("truth_total"))
+      val counts = clusters.agg(count(lit(1)).as("n_images"),
+        countDistinct("cluster_id").as("n_clusters"))
+      val simBands = idx.filter(col("band_id") < lit(1000))
+        .agg(count(lit(1)).as("sim_band_rows"))
+      counts.crossJoin(hit).crossJoin(simBands)
+        .select(col("n_images"), col("n_clusters"), col("truth_total"),
+          col("truth_hit"),
+          (col("truth_hit").cast("double") / col("truth_total")).as("recall"),
+          col("sim_band_rows"))
+    }),
     "q36_img_tiered" -> ((s, _) => {
       // the tiered cascade on the north-rule image+caption table: tier 1
       // exact record hash (sha-256 over bytes AND caption), tier 2
@@ -1128,6 +1202,40 @@ object SparkEntry {
         |FROM read_parquet('${OracleDump.glob("q34_ids")}') v
         |LEFT JOIN reach r ON r.src = v.image_id
         |GROUP BY v.image_id ORDER BY v.image_id""".stripMargin,
+    "q40_stream_multiprobe" ->
+      // clusters re-derived from the pair log (q32's recursive-CTE CC),
+      // truth recall from the dumped planted pairs, persisted simhash
+      // band-row count from the dumped committed index — all three joined
+      // into the single summary row the Spark side computes from the
+      // engine's own clustersFromState labels
+      s"""WITH RECURSIVE pairs AS (
+        |  SELECT a, b FROM read_parquet('${OracleDump.glob("q40_pairs")}')),
+        |sym AS (SELECT a, b FROM pairs UNION SELECT b, a FROM pairs),
+        |reach(src, dst) AS (
+        |  SELECT a, b FROM sym
+        |  UNION
+        |  SELECT r.src, s.b FROM reach r JOIN sym s ON r.dst = s.a),
+        |lab AS (SELECT v.image_id,
+        |    least(v.image_id, coalesce(min(r.dst), v.image_id)) AS cluster_id
+        |  FROM read_parquet('${OracleDump.glob("q40_ids")}') v
+        |  LEFT JOIN reach r ON r.src = v.image_id
+        |  GROUP BY v.image_id),
+        |t AS (SELECT a, b FROM read_parquet('${OracleDump.glob("q40_truth")}')),
+        |hit AS (SELECT
+        |    CAST(sum(CASE WHEN la.cluster_id = lb.cluster_id THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS truth_hit,
+        |    count(*) AS truth_total
+        |  FROM t JOIN lab la ON la.image_id = t.a
+        |  JOIN lab lb ON lb.image_id = t.b),
+        |c AS (SELECT count(*) AS n_images,
+        |    count(DISTINCT cluster_id) AS n_clusters FROM lab),
+        |ib AS (SELECT count(*) AS sim_band_rows
+        |  FROM read_parquet('${OracleDump.glob("q40_index")}')
+        |  WHERE band_id < 1000)
+        |SELECT c.n_images, c.n_clusters, hit.truth_total, hit.truth_hit,
+        |  CAST(hit.truth_hit AS DOUBLE) / hit.truth_total AS recall,
+        |  ib.sim_band_rows
+        |FROM c, hit, ib""".stripMargin,
     "q30_roc" ->
       s"""WITH s AS (SELECT * FROM read_parquet('${OracleDump.glob("q30_sigs")}')),
         |gs AS (SELECT group_id, count(*) AS gsize FROM s GROUP BY group_id),
