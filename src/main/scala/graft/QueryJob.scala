@@ -14,7 +14,8 @@ import graft.pipeline.{Dedup, DedupConfig}
   * rank by similarity, and report enriched matches.
   *
   *   spark-submit --class graft.QueryJob app.jar \
-  *     <workDir> <queriesParquet> <outDir> [minSimilarity] [topN] [metadataTxt]
+  *     <workDir> <queriesParquet> <outDir> [minSimilarity] [topN]
+  *     [metadataTxt] [probes]
   *
   *  - <workDir> is a `graft.DedupJob` work directory: the committed `bands`
   *    stage table IS the index (reopened, never rebuilt — the reference's
@@ -31,6 +32,13 @@ import graft.pipeline.{Dedup, DedupConfig}
   *    (`functionmetadata.cpp:47-72`); hits join file name, base64-decoded
   *    symbol, and the vulnerability flag (J3), ids following the
   *    `fileid:address` convention.
+  *  - probes > 0 enables query-side multi-probe (`SimIndex.queryTopN
+  *    extraProbes`): each band additionally probes that many lowest-margin
+  *    key-bit flips, matching a wide-band index's recall against one built
+  *    with several-fold fewer bands. Raw image queries are featurized with
+  *    fold margins automatically; pre-computed signature queries must
+  *    carry the `margins` column (`Dedup.signaturesWithMargins`) — probing
+  *    without margins fails fast rather than probing random bits.
   *
   * Results land in <outDir> as parquet ordered by (query_id, rank); the
   * strongest matches are echoed to stdout like the tool's report lines.
@@ -40,7 +48,7 @@ object QueryJob {
   def run(spark: SparkSession, workDir: String, queries: DataFrame,
       minSimilarity: Double = 0.8, topN: Int = 5,
       metadataTxt: Option[String] = None,
-      cfg: DedupConfig = DedupConfig()): DataFrame = {
+      cfg: DedupConfig = DedupConfig(), extraProbes: Int = 0): DataFrame = {
     val cfgHash = java.lang.Integer.toHexString(cfg.toString.hashCode)
     val io = new ParquetTableIO(workDir)
     val index = io.readStage(spark, "bands", cfgHash).getOrElse(sys.error(
@@ -50,13 +58,26 @@ object QueryJob {
       .withColumnRenamed("image_id", "id")
     val qSigs =
       if (queries.columns.contains("sim_hi")) {
+        require(extraProbes == 0 || queries.columns.contains("margins"),
+          s"probes=$extraProbes needs fold margins, but the pre-computed " +
+            "signature queries carry no `margins` column — featurize with " +
+            "Dedup.signaturesWithMargins, or pass raw image rows")
         val idCol = if (queries.columns.contains("query_id")) "query_id"
           else if (queries.columns.contains("image_id")) "image_id" else "id"
-        queries.select(col(idCol).as("query_id"),
+        val base = Seq(col(idCol).as("query_id"), col("sim_hi"), col("sim_lo"))
+        queries.select((if (extraProbes > 0) base :+ col("margins")
+          else base): _*)
+      } else {
+        val sigs =
+          if (extraProbes > 0) Dedup.signaturesWithMargins(queries, cfg)
+          else Dedup.signatures(queries, cfg)
+        val base = Seq(col("image_id").as("query_id"),
           col("sim_hi"), col("sim_lo"))
-      } else Dedup.signatures(queries, cfg)
-        .select(col("image_id").as("query_id"), col("sim_hi"), col("sim_lo"))
-    val topn = SimIndex.queryTopN(index, qSigs, topN, minSimilarity, cfg)
+        sigs.select((if (extraProbes > 0) base :+ col("margins")
+          else base): _*)
+      }
+    val topn =
+      SimIndex.queryTopN(index, qSigs, topN, minSimilarity, cfg, extraProbes)
     metadataTxt match {
       case Some(m) =>
         SimIndex.enrichTopN(topn,
@@ -68,16 +89,17 @@ object QueryJob {
   def main(args: Array[String]): Unit = {
     if (args.length < 3) {
       System.err.println("usage: graft.QueryJob <workDir> <queriesParquet> " +
-        "<outDir> [minSimilarity] [topN] [metadataTxt]")
+        "<outDir> [minSimilarity] [topN] [metadataTxt] [probes]")
       sys.exit(2)
     }
     val Array(workDir, queriesPath, outDir) = args.take(3)
     val minSim = args.lift(3).map(_.toDouble).getOrElse(0.8)
     val topN = args.lift(4).map(_.toInt).getOrElse(5)
     val metadata = args.lift(5)
+    val probes = args.lift(6).map(_.toInt).getOrElse(0)
     val spark = Bench.makeSession(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
     val result = run(spark, workDir, spark.read.parquet(queriesPath),
-      minSim, topN, metadata)
+      minSim, topN, metadata, extraProbes = probes)
       .orderBy(col("query_id"), col("rank"))
     result.write.mode("overwrite").parquet(outDir)
     val persisted = spark.read.parquet(outDir)

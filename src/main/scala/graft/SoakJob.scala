@@ -13,7 +13,15 @@ import graft.streaming.StreamingDedup
   * StreamingDedupSpec enforces the same contract at 15 micro-batches;
   * this run produces the evidence table at ~100.
   *
-  *   sbt -batch "runMain graft.SoakJob <nBatches> <batchSize> <outDir>"
+  *   sbt -batch "runMain graft.SoakJob <nBatches> <batchSize> <outDir>
+  *     [nBands] [bandProbes]"
+  *
+  * `[nBands] [bandProbes]` select the band config (defaults 28 / 0 — the
+  * single-probe default): `8 3` is the reduced-band multi-probe
+  * configuration, whose persisted index carries ~0.55x the band rows at
+  * equal truth recall (the A/B the round-5 notes record). The job prints
+  * the committed index row count at the end so the two runs' state
+  * volumes are directly comparable.
   *
   * Emits one line per batch (from the engine's own committed metrics
   * table) and a head-vs-tail summary: mean wall/read-cost over an early
@@ -25,6 +33,8 @@ object SoakJob {
     val nBatches = args.headOption.map(_.toInt).getOrElse(100)
     val batchSize = args.lift(1).map(_.toInt).getOrElse(200)
     val outDir = args.lift(2).getOrElse("/tmp/graft_soak")
+    val nBands = args.lift(3).map(_.toInt).getOrElse(28)
+    val bandProbes = args.lift(4).map(_.toInt).getOrElse(0)
     val spark = Bench.makeSession(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
     val n = nBatches * batchSize
     // dup-heavy mix like the scaling corpus: ~60% of rows in planted groups
@@ -38,7 +48,8 @@ object SoakJob {
     // one file per micro-batch, deterministic round-robin assignment
     images.repartition(nBatches).write.mode("overwrite").parquet(inputDir)
     val t0 = System.nanoTime()
-    StreamingDedup.run(spark, inputDir, stateDir, DedupConfig(),
+    StreamingDedup.run(spark, inputDir, stateDir,
+      DedupConfig(nBands = nBands, bandProbes = bandProbes),
       Trigger.AvailableNow(), maxFilesPerTrigger = 1, metrics = true,
       stateP = 64, compactEvery = 8)
       .awaitTermination()
@@ -75,6 +86,9 @@ object SoakJob {
     println(f"SOAK tail(last 16) mean wall=$tailWall%8.1f ms  mean files_read=$tailRead%8.1f")
     println(f"SOAK wall_ratio=${tailWall / headWall}%.2f read_ratio=${tailRead / headRead}%.2f " +
       "(flat contract: ratios ~1, NOT proportional to 5x history growth)")
+    val idxRows = StreamingDedup.indexFromState(spark, stateDir).count()
+    println(f"SOAK persisted index: $idxRows%,d band rows " +
+      f"(nBands=$nBands bandProbes=$bandProbes)")
     spark.stop()
   }
 }

@@ -500,24 +500,9 @@ object SparkEntry {
       val tr = truth.select(col("group_id"), col("image_id").as("b"))
       val truthPairs = OracleDump.dump("q40_truth",
         tl.join(tr, "group_id").filter(col("a") < col("b")).select("a", "b"))
-      val bandSchema = org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("band_id",
-          org.apache.spark.sql.types.IntegerType),
-        org.apache.spark.sql.types.StructField("band_key",
-          org.apache.spark.sql.types.LongType),
-        org.apache.spark.sql.types.StructField("sort_hi",
-          org.apache.spark.sql.types.LongType),
-        org.apache.spark.sql.types.StructField("sort_lo",
-          org.apache.spark.sql.types.LongType),
-        org.apache.spark.sql.types.StructField("image_id",
-          org.apache.spark.sql.types.StringType),
-        org.apache.spark.sql.types.StructField("sim_hi",
-          org.apache.spark.sql.types.LongType),
-        org.apache.spark.sql.types.StructField("sim_lo",
-          org.apache.spark.sql.types.LongType)))
       val idx = OracleDump.dump("q40_index",
-        graft.streaming.StreamingDedup.readCommitted(s, stateDir, "index",
-          bandSchema).select("band_id", "image_id"))
+        graft.streaming.StreamingDedup.indexFromState(s, stateDir)
+          .select("band_id", "image_id"))
       val clusters = graft.streaming.StreamingDedup
         .clustersFromState(s, stateDir).localCheckpoint()
       val la = clusters.select(col("image_id").as("a"), col("cluster_id").as("la"))

@@ -953,6 +953,12 @@ object StreamingDedup {
     StructField("caption_norm", StringType),
     StructField("sim_hi", LongType), StructField("sim_lo", LongType),
     StructField("minhash", ArrayType(LongType))))
+  /** The committed LSH band index (EXACT keys only — with
+    * `cfg.bandProbes > 0` probe rows join but are never persisted, so this
+    * is the state-volume side of the multi-probe A/B: rows ≈ records ×
+    * (simhash nBands + minhash bands)). */
+  def indexFromState(spark: SparkSession, stateDir: String): DataFrame =
+    readCommitted(spark, stateDir, "index", bandSchema)
   private val pairSchema = StructType(Seq(
     StructField("a", StringType), StructField("b", StringType)))
   private val bandSchema = StructType(Seq(

@@ -93,4 +93,40 @@ class QueryJobSpec extends AnyFunSuite {
       .select("id").collect().map(_.getString(0)).toSet
     assert(gotVuln === vulnIds.intersect(uniqueIds))
   }
+
+  test("multi-probe queries against a reduced-band index (probes surface)") {
+    val root = Files.createTempDirectory("graft-queryjob-mp").toString
+    val (images0, _) = SyntheticCorpus.generate(spark,
+      nGroups = 8, variantsPerGroup = 2, nDistractors = 10)
+    val images = images0.localCheckpoint()
+    val n = images.count()
+    val cfg = DedupConfig(nBands = 8) // several-fold smaller persisted index
+    DedupJob.run(spark, images, s"$root/work", cfg)
+    // raw image rows + probes: featurized with fold margins automatically;
+    // every query's exact bands still collide, so rank 1 is a full match —
+    // this pins the CLI plumbing (margins ride along, probe rows join, the
+    // verify/rank semantics are unchanged by probing)
+    val hits = QueryJob.run(spark, s"$root/work", images, topN = 1,
+      cfg = cfg, extraProbes = 3)
+    assert(hits.filter(col("rank") === 1)
+      .filter(col("similarity") === 128).count() === n)
+    // pre-computed signatures WITHOUT margins cannot probe: fail fast with
+    // the actionable message, never probe undefined bits
+    val bare = Dedup.signatures(images, cfg)
+      .select(col("image_id").as("query_id"), col("sim_hi"), col("sim_lo"))
+      .localCheckpoint()
+    val e = intercept[IllegalArgumentException] {
+      QueryJob.run(spark, s"$root/work", bare, cfg = cfg, extraProbes = 3)
+    }
+    assert(e.getMessage.contains("margins"))
+    // ... and WITH margins they probe fine (signaturesWithMargins is the
+    // documented featurize path for precomputed multi-probe queries)
+    val withM = Dedup.signaturesWithMargins(images, cfg)
+      .select(col("image_id").as("query_id"), col("sim_hi"), col("sim_lo"),
+        col("margins"))
+    assert(QueryJob.run(spark, s"$root/work", withM, topN = 1,
+      cfg = cfg, extraProbes = 3)
+      .filter(col("rank") === 1)
+      .filter(col("similarity") === 128).count() === n)
+  }
 }

@@ -387,23 +387,8 @@ class StreamingDedupSpec extends AnyFunSuite {
     // are the scale-faithful measure; raw bytes at this toy scale are
     // footer/metadata-dominated (dozens of tiny parquet files), so they
     // shrink less and are only reported.
-    val bandSchema = org.apache.spark.sql.types.StructType(Seq(
-      org.apache.spark.sql.types.StructField("band_id",
-        org.apache.spark.sql.types.IntegerType),
-      org.apache.spark.sql.types.StructField("band_key",
-        org.apache.spark.sql.types.LongType),
-      org.apache.spark.sql.types.StructField("sort_hi",
-        org.apache.spark.sql.types.LongType),
-      org.apache.spark.sql.types.StructField("sort_lo",
-        org.apache.spark.sql.types.LongType),
-      org.apache.spark.sql.types.StructField("image_id",
-        org.apache.spark.sql.types.StringType),
-      org.apache.spark.sql.types.StructField("sim_hi",
-        org.apache.spark.sql.types.LongType),
-      org.apache.spark.sql.types.StructField("sim_lo",
-        org.apache.spark.sql.types.LongType)))
     def indexRows(dir: String): Long =
-      StreamingDedup.readCommitted(spark, dir, "index", bandSchema).count()
+      StreamingDedup.indexFromState(spark, dir).count()
     def du(p: java.io.File): Long =
       if (p.isFile) p.length
       else if (p.isDirectory) p.listFiles.map(du).sum
