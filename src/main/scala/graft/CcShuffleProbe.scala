@@ -46,9 +46,12 @@ object CcShuffleProbe {
       println(f"$label%-12s shuffle_write_bytes=$b%,d")
       b
     }
-    // warmup (JIT + codegen), untimed
+    // warmup (JIT + codegen), untimed; drain the async listener bus before
+    // the first measurement zeroes the counter, or late warmup task-end
+    // events leak into the long-native figure and understate the ratio
     graft.pipeline.ConnectedComponents.run(spark, edges, vertices,
       localEdgeThreshold = 0L).count()
+    Thread.sleep(3000)
 
     val longBytes = measure("long-native") {
       graft.pipeline.ConnectedComponents.run(spark, edges, vertices,

@@ -21,7 +21,7 @@ object DedupJob {
 
   def run(spark: SparkSession, images: DataFrame, workDir: String,
       cfg: DedupConfig = DedupConfig()): DataFrame = {
-    val cfgHash = java.lang.Integer.toHexString(cfg.toString.hashCode)
+    val cfgHash = cfg.stageHash
     val io = new ParquetTableIO(workDir)
     val stages = new StageRunner(io, spark, cfgHash)
 

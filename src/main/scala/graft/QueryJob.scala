@@ -49,7 +49,7 @@ object QueryJob {
       minSimilarity: Double = 0.8, topN: Int = 5,
       metadataTxt: Option[String] = None,
       cfg: DedupConfig = DedupConfig(), extraProbes: Int = 0): DataFrame = {
-    val cfgHash = java.lang.Integer.toHexString(cfg.toString.hashCode)
+    val cfgHash = cfg.stageHash
     val io = new ParquetTableIO(workDir)
     val index = io.readStage(spark, "bands", cfgHash).getOrElse(sys.error(
       s"no committed 'bands' stage under $workDir for config hash $cfgHash " +

@@ -15,11 +15,22 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * broadcast-heavy queries after 30+ queries' blocks piled up).
   *
   * Contract used across the library:
-  *  - operators that checkpoint INTERMEDIATES materialize their result
-  *    eagerly ([[scoped]]) and release everything else they created;
+  *  - operators that checkpoint INTERMEDIATES run in a scope ([[scoped]] /
+  *    [[scopedSeq]] / [[scopedUnit]]) and route every internal checkpoint
+  *    through [[ckpt]]. A scope releases EXACTLY the blocks its body
+  *    created — ownership is tracked per checkpoint call, never inferred
+  *    from a before/after diff of the context's persistent-RDD registry,
+  *    because on a shared SparkContext a diff would sweep frames a
+  *    CONCURRENT caller checkpointed during the window (truncated lineage
+  *    makes that an unrecoverable SparkException for the other thread, not
+  *    a recompute). Scopes nest: an inner operator's kept results are
+  *    handed to the enclosing scope, so a streaming batch releases the
+  *    operators it composes at batch end.
   *  - drivers that run many queries in one session ([[graft.Bench]],
   *    [[graft.Verify]]) additionally [[sweep]] after each query's action, so
   *    even result checkpoints never outlive the query that produced them.
+  *    The blanket diff-sweep is a DRIVER-MAIN tool only (single-threaded
+  *    process that owns the whole session); operators must use scopes.
   */
 object Checkpoints {
 
@@ -49,8 +60,11 @@ object Checkpoints {
     }
 
   /** Unpersist every persistent RDD registered since `before`, except
-    * `keep`. Returns how many were released. Only safe once everything the
-    * caller still needs from that window is materialized elsewhere. */
+    * `keep`. Returns how many were released. DRIVER-MAIN ONLY (Bench,
+    * Verify, one-shot probe tools): the diff cannot tell this caller's
+    * blocks from a concurrent thread's, so it is only safe in a
+    * single-threaded process that owns the whole session. Operators use
+    * [[scoped]]/[[scopedSeq]]/[[scopedUnit]] instead. */
   def sweep(spark: SparkSession, before: Set[Int],
       keep: Set[Int] = Set.empty): Int = {
     val now = spark.sparkContext.getPersistentRDDs
@@ -64,31 +78,71 @@ object Checkpoints {
     n
   }
 
-  /** Run `body`, eagerly materialize its result as a local checkpoint, then
-    * release every OTHER persistent RDD `body` created — the scoped-release
-    * pattern every intermediate-checkpointing operator uses. The returned
-    * frame owns exactly one persisted block set; a long-lived caller
-    * releases it via [[release]] (or a driver-level [[sweep]]) when done. */
-  def scoped(spark: SparkSession)(body: => DataFrame): DataFrame = {
-    val before = snapshot(spark)
-    val out0 = body
-    val out =
-      if (checkpointRddId(out0).isDefined) out0 else out0.localCheckpoint()
-    sweep(spark, before, keep = checkpointRddId(out).toSet)
+  // ---- exact-ownership scopes ----
+
+  private final class Scope {
+    val owned = scala.collection.mutable.LinkedHashSet.empty[Int]
+  }
+
+  /** The innermost active scope on THIS thread. Thread-local by
+    * construction (operators plan and materialize on the calling thread),
+    * so concurrent operators on a shared context each see only their own
+    * scope. */
+  private val current = new scala.util.DynamicVariable[Option[Scope]](None)
+
+  /** `df.localCheckpoint()`, with the resulting block set registered to the
+    * active scope (outside any scope the checkpoint is caller-managed, as
+    * with a raw `localCheckpoint`). Every operator-internal checkpoint goes
+    * through here so scope sweeps release exactly what the operator
+    * created. */
+  def ckpt(df: DataFrame): DataFrame = {
+    val out = df.localCheckpoint()
+    for (s <- current.value; id <- checkpointRddId(out)) s.owned += id
     out
   }
 
-  /** [[scoped]] for operators returning several result frames: `body` runs,
-    * `results` names the frames to keep (each is materialized if not already
-    * a checkpoint), everything else created inside is released. */
-  def scopedMany[T](spark: SparkSession)(body: => T)(
-      results: T => Seq[DataFrame], rebuild: Seq[DataFrame] => T): T = {
-    val before = snapshot(spark)
-    val raw = body
-    val kept = results(raw).map { df =>
-      if (checkpointRddId(df).isDefined) df else df.localCheckpoint()
+  private def releaseIds(spark: SparkSession, ids: Iterable[Int]): Int = {
+    val live = spark.sparkContext.getPersistentRDDs
+    var n = 0
+    ids.foreach { id =>
+      live.get(id).foreach { rdd => rdd.unpersist(blocking = false); n += 1 }
     }
-    sweep(spark, before, keep = kept.flatMap(checkpointRddId).toSet)
-    rebuild(kept)
+    n
+  }
+
+  /** Run `body` in its own checkpoint scope: the result is eagerly
+    * materialized (checkpointed if it is not one already), every OTHER
+    * block the body [[ckpt]]ed is released, and the kept block is handed to
+    * the enclosing scope (if any) so nested operators compose. A long-lived
+    * caller releases the returned frame via [[release]] (or a driver-level
+    * [[sweep]]) when done. */
+  def scoped(spark: SparkSession)(body: => DataFrame): DataFrame =
+    scopedSeq(spark)(Seq(body)).head
+
+  /** [[scoped]] for operators returning several result frames. */
+  def scopedSeq(spark: SparkSession)(body: => Seq[DataFrame]): Seq[DataFrame] = {
+    val scope = new Scope
+    var kept = Set.empty[Int]
+    try {
+      val outs = current.withValue(Some(scope))(body).map { df =>
+        if (checkpointRddId(df).isDefined) df
+        else current.withValue(Some(scope))(ckpt(df))
+      }
+      kept = outs.flatMap(checkpointRddId).toSet
+      // kept blocks outlive this scope: the parent scope (if any) owns them
+      current.value.foreach(p => kept.foreach(p.owned += _))
+      outs
+    } finally {
+      releaseIds(spark, scope.owned.toSeq.filterNot(kept.contains)); ()
+    }
+  }
+
+  /** A scope that keeps NOTHING: for bodies whose results are on disk by
+    * the end (a streaming micro-batch's state writes). Sweeps everything
+    * the body [[ckpt]]ed, also on exception. */
+  def scopedUnit(spark: SparkSession)(body: => Unit): Unit = {
+    val scope = new Scope
+    try current.withValue(Some(scope))(body)
+    finally { releaseIds(spark, scope.owned.toSeq); () }
   }
 }

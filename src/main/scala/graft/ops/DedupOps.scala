@@ -61,7 +61,7 @@ object DedupOps {
       MinHash.bandKeys(sk, bands, rows).zipWithIndex.map {
         case (key, b) => graft.pipeline.BandKey(b, key)
       })
-    val withSketch = docs
+    val withSketch0 = docs
       .select(col("doc_id"), TextOps.tokensCol(col("text")).as("toks"))
       // BEFORE the UDFs: docs with < 3 tokens have NO shingles — their
       // sketches are identical all-MaxValue vectors, so banding them would
@@ -76,8 +76,8 @@ object DedupOps {
       .filter(size(col("toks")) >= 3)
       .withColumn("sh", shingleUdf(col("toks")))
       .withColumn("sketch", sketchUdf(col("sh")))
-      .localCheckpoint()
-    val banded = withSketch
+    val withSketchC = graft.core.Checkpoints.ckpt(withSketch0)
+    val banded = withSketchC
       .select(col("doc_id"), explode(bandUdf(col("sketch"))).as("bk"))
       .select(col("doc_id"), col("bk.band_id"), col("bk.band_key"))
     val cands = banded.select(col("band_id"), col("band_key"), col("doc_id").as("a"))
@@ -86,7 +86,7 @@ object DedupOps {
       .filter(col("a") < col("b"))
       .select("a", "b").distinct()
     // exact verify on candidates only
-    val sh = withSketch.select(col("doc_id"), col("sh"))
+    val sh = withSketchC.select(col("doc_id"), col("sh"))
     val jacc = udf((x: Seq[Long], y: Seq[Long]) =>
       MinHash.exactJaccard(x.toSet, y.toSet))
     cands
@@ -126,7 +126,7 @@ object DedupOps {
     val bandUdf = udf((hi: Long, lo: Long) =>
       Bands.simhashBands(hi, lo, nBands, prefixBits).map(r =>
         graft.pipeline.BandKey(r.band_id, r.band_key)))
-    val sigs = docs
+    val sigs0 = docs
       .select(col("doc_id"), TextOps.tokensCol(col("text")).as("toks"))
       // a doc with < 3 tokens has NO features: the tie rule folds the empty
       // set to the all-ones hash, identical for every such doc, so banding
@@ -136,8 +136,8 @@ object DedupOps {
       .filter(size(col("toks")) >= 3)
       .withColumn("sig", simUdf(col("toks")))
       .select(col("doc_id"), col("sig.sim_hi").as("hi"), col("sig.sim_lo").as("lo"))
-      .localCheckpoint()
-    sigs.select(col("doc_id"), col("hi"), col("lo"),
+    val sigsC = graft.core.Checkpoints.ckpt(sigs0)
+    sigsC.select(col("doc_id"), col("hi"), col("lo"),
       explode(bandUdf(col("hi"), col("lo"))).as("bk"))
       .select(col("doc_id"), col("hi"), col("lo"),
         col("bk.band_id"), col("bk.band_key"))

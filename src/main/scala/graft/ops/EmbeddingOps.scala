@@ -124,8 +124,8 @@ object EmbeddingOps {
     graft.core.Checkpoints.scoped(emb.sparkSession) {
       // band table feeds the occupancy split plus both join sides →
       // materialized once; skew handling lives in lshCandidates
-      val banded =
-        lshBands(emb, planes, bands, rowsPerBand, dims).localCheckpoint()
+      val banded = graft.core.Checkpoints.ckpt(
+        lshBands(emb, planes, bands, rowsPerBand, dims))
       verifyCosPairs(lshCandidates(banded, maxBucket), emb, minCos)
     }
 
@@ -309,9 +309,8 @@ object EmbeddingOps {
       dims: Int = 64, extraProbes: Int = 2,
       maxBucket: Int = 1000): DataFrame =
     graft.core.Checkpoints.scoped(emb.sparkSession) {
-      val probes =
-        lshProbeBands(emb, planes, bands, rowsPerBand, dims, extraProbes)
-          .localCheckpoint()
+      val probes = graft.core.Checkpoints.ckpt(
+        lshProbeBands(emb, planes, bands, rowsPerBand, dims, extraProbes))
       verifyCosPairs(multiProbeCandidates(probes, maxBucket), emb, minCos)
     }
 

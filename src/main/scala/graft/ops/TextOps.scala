@@ -122,8 +122,8 @@ object TextOps {
     // materialized once: the shingle table feeds the hot-key count, the
     // per-doc sizes, and BOTH sides of the intersection self-join — without
     // this the text scan + shingle explode runs four times per action
-    val shAll = docs.select(col("doc_id"), explode(shingles3Col(col("text"))).as("sh"))
-      .localCheckpoint()
+    val shAll = graft.core.Checkpoints.ckpt(
+      docs.select(col("doc_id"), explode(shingles3Col(col("text"))).as("sh")))
     val sh = dropHotKeys(shAll, "sh", maxShingleDf, "ngramJaccardPairs")
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val inter = sh.select(col("doc_id").as("a"), col("sh"))

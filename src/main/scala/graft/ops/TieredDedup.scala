@@ -69,80 +69,91 @@ object TieredDedup {
       embDims: Int = 64,
       maxExactBroadcastBytes: Long = 2L << 30,
       tier3ProbeDump: DataFrame => DataFrame = identity): Result = {
+    import graft.core.Checkpoints
     val spark = docs.sparkSession
-    val before = graft.core.Checkpoints.snapshot(spark)
+    val Seq(verdicts, nearPairs, semPairs) = Checkpoints.scopedSeq(spark) {
 
-    // ---- tier 1: exact (one shuffle on the text DIGEST, partial agg —
-    // shuffling sha-256 keys instead of multi-KB document bodies; null
-    // text gets a non-hex marker key so it groups with its own kind
-    // instead of falling out of the join) ----
-    val textSha = when(col("text").isNull, lit("nulltext"))
-      .otherwise(sha2(encode(col("text"), "UTF-8"), 256))
-    // checkpointed: feeds both the groupBy and the join-back — without it
-    // the sha-256 over every document body runs twice per action
-    val keyed = docs.select(col("doc_id"), textSha.as("text_sha"))
-      .localCheckpoint()
-    val canon1 = keyed.groupBy(col("text_sha"))
-      .agg(min("doc_id").as("canonical_id"))
-    val labeled1 = keyed.join(canon1, "text_sha")
-      .select(col("doc_id"), col("canonical_id")).localCheckpoint()
-    val t1 = labeled1.filter(col("doc_id") =!= col("canonical_id"))
-      .select(col("doc_id"), lit(1).as("tier"), col("canonical_id"))
-    val surv1 = docs.join(
-      labeled1.filter(col("doc_id") === col("canonical_id"))
-        .select("doc_id"), Seq("doc_id"), "left_semi")
+      // ---- tier 1: exact (one shuffle on the text DIGEST, partial agg —
+      // shuffling sha-256 keys instead of multi-KB document bodies; null
+      // text gets a non-hex marker key so it groups with its own kind
+      // instead of falling out of the join) ----
+      val textSha = when(col("text").isNull, lit("nulltext"))
+        .otherwise(sha2(encode(col("text"), "UTF-8"), 256))
+      // checkpointed: feeds both the groupBy and the join-back — without it
+      // the sha-256 over every document body runs twice per action
+      val keyed = Checkpoints.ckpt(
+        docs.select(col("doc_id"), textSha.as("text_sha")))
+      val canon1 = keyed.groupBy(col("text_sha"))
+        .agg(min("doc_id").as("canonical_id"))
+      val labeled1 = Checkpoints.ckpt(keyed.join(canon1, "text_sha")
+        .select(col("doc_id"), col("canonical_id")))
+      val t1 = labeled1.filter(col("doc_id") =!= col("canonical_id"))
+        .select(col("doc_id"), lit(1).as("tier"), col("canonical_id"))
+      val surv1 = docs.join(
+        labeled1.filter(col("doc_id") === col("canonical_id"))
+          .select("doc_id"), Seq("doc_id"), "left_semi")
 
-    // ---- tier 2: lexical near-dup (banded MinHash; exact-Jaccard verify
-    // on candidates only) over tier-1 survivors ----
-    val nearPairs = DedupOps.minhashLshDedup(surv1, minJaccard)
-      .localCheckpoint()
-    val lab2 = components(surv1.select("doc_id"),
-      nearPairs.select(col("doc_a").as("a"), col("doc_b").as("b")))
-    val t2 = lab2.filter(col("doc_id") =!= col("canonical_id"))
-      .select(col("doc_id"), lit(2).as("tier"), col("canonical_id"))
-    val surv2 = lab2.filter(col("doc_id") === col("canonical_id"))
-      .select("doc_id")
+      // ---- tier 2: lexical near-dup (banded MinHash; exact-Jaccard verify
+      // on candidates only) over tier-1 survivors. Already a checkpoint
+      // (the operator's own scope materialized it and handed it to this
+      // one) — re-checkpointing would double the pair table's blocks ----
+      val nearP = DedupOps.minhashLshDedup(surv1, minJaccard)
+      val lab2 = components(surv1.select("doc_id"),
+        nearP.select(col("doc_a").as("a"), col("doc_b").as("b")))
+      val t2 = lab2.filter(col("doc_id") =!= col("canonical_id"))
+        .select(col("doc_id"), lit(2).as("tier"), col("canonical_id"))
+      val surv2 = lab2.filter(col("doc_id") === col("canonical_id"))
+        .select("doc_id")
 
-    // ---- tier 3: semantic near-dup over tier-2 survivors; only this tier
-    // ever touches the embedding column ----
-    val embSub = emb.join(surv2.select(col("doc_id").as("vec_id")),
-      Seq("vec_id"), "left_semi")
-    val semPairs = (if (approxSem) {
-      // inlined multiProbeCosinePairs so the probe table is dumpable
-      // (q39's oracle evidence) and cleanup rides this method's scope
-      val probes = tier3ProbeDump(
-        EmbeddingOps.lshProbeBands(embSub, dims = embDims).localCheckpoint())
-      EmbeddingOps.verifyCosPairs(
-        EmbeddingOps.multiProbeCandidates(probes), embSub, minCos)
-    } else {
-      // fail fast BEFORE attempting the broadcast: past the budget the
-      // exact tier either OOMs the executors or hits Spark's broadcast
-      // limit mid-job — surface the scale path instead (verdict r4 #2)
-      val survivors = embSub.count()
-      val estBytes = survivors * embDims.toLong * 4L
-      require(estBytes <= maxExactBroadcastBytes,
-        s"exact tier-3 would broadcast $survivors surviving embeddings " +
-          s"(~$estBytes B at $embDims float dims) > budget " +
-          s"$maxExactBroadcastBytes B — set approxSem = true (the " +
-          "multi-probe LSH scale path) or raise maxExactBroadcastBytes")
-      EmbeddingOps.cosinePairs(embSub, minCos)
-    }).localCheckpoint()
-    val lab3 = components(surv2,
-      semPairs.select(col("vec_a").as("a"), col("vec_b").as("b")))
-    val t3 = lab3.filter(col("doc_id") =!= col("canonical_id"))
-      .select(col("doc_id"), lit(3).as("tier"), col("canonical_id"))
-    val kept = lab3.filter(col("doc_id") === col("canonical_id"))
-      .select(col("doc_id"), lit(0).as("tier"),
-        col("doc_id").as("canonical_id"))
+      // ---- tier 3: semantic near-dup over tier-2 survivors; only this
+      // tier ever touches the embedding column ----
+      val embSub = emb.join(surv2.select(col("doc_id").as("vec_id")),
+        Seq("vec_id"), "left_semi")
+      val semP = if (approxSem) {
+        // inlined multiProbeCosinePairs so the probe table is dumpable
+        // (q39's oracle evidence) and cleanup rides this method's scope
+        val probes = tier3ProbeDump(
+          Checkpoints.ckpt(EmbeddingOps.lshProbeBands(embSub, dims = embDims)))
+        EmbeddingOps.verifyCosPairs(
+          EmbeddingOps.multiProbeCandidates(probes), embSub, minCos)
+      } else {
+        // fail fast BEFORE attempting the broadcast: past the budget the
+        // exact tier either OOMs the executors or hits Spark's broadcast
+        // limit mid-job — surface the scale path instead (verdict r4 #2).
+        // The frontier is checkpointed FIRST so the guard's count and the
+        // pair join's two consumers read one materialization instead of
+        // re-running the tier-1/2 chain three times, and the estimate
+        // budgets what is actually broadcast — UnsafeRow + array headers
+        // + id/norm on top of the raw floats, plus hash-relation build
+        // headroom — not just dims × 4 B (a near-budget config must fail
+        // the guard, not the broadcast)
+        val embSubC = Checkpoints.ckpt(embSub)
+        val survivors = embSubC.count()
+        val estBytes = survivors * (embDims.toLong * 4L + 96L) * 3L / 2L
+        require(estBytes <= maxExactBroadcastBytes,
+          s"exact tier-3 would broadcast $survivors surviving embeddings " +
+            s"(~$estBytes B with row overhead at $embDims float dims) > " +
+            s"budget $maxExactBroadcastBytes B — set approxSem = true " +
+            "(the multi-probe LSH scale path) or raise " +
+            "maxExactBroadcastBytes")
+        EmbeddingOps.cosinePairs(embSubC, minCos)
+      }
+      val semPC = Checkpoints.ckpt(semP)
+      val lab3 = components(surv2,
+        semPC.select(col("vec_a").as("a"), col("vec_b").as("b")))
+      val t3 = lab3.filter(col("doc_id") =!= col("canonical_id"))
+        .select(col("doc_id"), lit(3).as("tier"), col("canonical_id"))
+      val kept = lab3.filter(col("doc_id") === col("canonical_id"))
+        .select(col("doc_id"), lit(0).as("tier"),
+          col("doc_id").as("canonical_id"))
 
-    val verdicts = t1.union(t2).union(t3).union(kept).orderBy("doc_id")
-      .localCheckpoint()
-    // scoped release: every intermediate checkpoint this cascade created
-    // (keyed, labeled1, the probe table, CC label tables) dies here; only
-    // the three result frames stay persisted, for the caller to release
-    val keepIds = Seq(verdicts, nearPairs, semPairs)
-      .flatMap(graft.core.Checkpoints.checkpointRddId).toSet
-    graft.core.Checkpoints.sweep(spark, before, keepIds)
+      // scoped release: every intermediate checkpoint this cascade created
+      // (keyed, labeled1, the probe table, CC label tables) dies when this
+      // scope closes; only the three result frames stay persisted, for the
+      // caller to release
+      Seq(t1.union(t2).union(t3).union(kept).orderBy("doc_id"),
+        nearP, semPC)
+    }
     Result(verdicts, nearPairs, semPairs)
   }
 

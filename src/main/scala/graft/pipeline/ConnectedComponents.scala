@@ -68,10 +68,10 @@ object ConnectedComponents {
       maxIters: Int = 25,
       localEdgeThreshold: Long = defaultLocalEdgeThreshold): DataFrame = {
     // symmetrize once; checkpoint — reused every iteration
-    val sym = edges.select(col("a").as("src"), col("b").as("dst"))
-      .union(edges.select(col("b").as("src"), col("a").as("dst")))
-      .distinct()
-      .localCheckpoint()
+    val sym = graft.core.Checkpoints.ckpt(
+      edges.select(col("a").as("src"), col("b").as("dst"))
+        .union(edges.select(col("b").as("src"), col("a").as("dst")))
+        .distinct())
 
     if (sym.count() <= localEdgeThreshold) {
       val labels = sym.schema("src").dataType match {
@@ -85,9 +85,9 @@ object ConnectedComponents {
     }
 
     // only edge-incident vertices propagate
-    var labels = sym.select(col("src").as("id")).distinct()
-      .select(col("id"), col("id").as("cluster_id"))
-      .localCheckpoint()
+    var labels = graft.core.Checkpoints.ckpt(
+      sym.select(col("src").as("id")).distinct()
+        .select(col("id"), col("id").as("cluster_id")))
 
     def labelFingerprint(df: DataFrame): Long =
       // bit_xor: overflow-free under ANSI mode; rows are unique (id keyed) so
@@ -111,12 +111,12 @@ object ConnectedComponents {
       // degenerate identical-signature runs (sorted-neighbor W-chains) have
       // diameter ~run_length/W and would otherwise outrun any fixed budget
       val parents = hop.select(col("id").as("p_id"), col("cluster_id").as("p_cluster"))
-      val next = hop
+      val next0 = hop
         .join(parents, hop("cluster_id") === parents("p_id"), "left")
         .select(hop("id"),
           least(hop("cluster_id"), coalesce(col("p_cluster"), hop("cluster_id")))
             .as("cluster_id"))
-        .localCheckpoint()
+      val next = graft.core.Checkpoints.ckpt(next0)
       val nextFp = labelFingerprint(next)
       // `next` is eagerly materialized, so the SUPERSEDED label checkpoint
       // can be released now — without this each round's copy of the label

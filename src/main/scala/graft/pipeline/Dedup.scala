@@ -39,6 +39,23 @@ final case class DedupConfig(
     featurize: FeaturizeConfig = FeaturizeConfig()) {
   require(minhashBands * minhashRows <= featurize.minhashK,
     "minhash banding exceeds sketch size")
+
+  /** Stage-table key for checkpoint-resume (DedupJob/QueryJob): a hex hash
+    * over the NON-DEFAULT fields only, as `name=value` pairs. The raw
+    * case-class toString would re-key every persisted stage whenever a new
+    * config field is ADDED (even at its default — adding `bandProbes`
+    * would have orphaned every index built before it, breaking the
+    * reopened-never-rebuilt contract on upgrade); comparing field-by-field
+    * against the default instance keeps previously committed stages
+    * reachable across additive config evolution, while changing any
+    * EFFECTIVE value still re-keys every stage, as it must. */
+  def stageHash: String = {
+    val defaults = DedupConfig().productIterator.toSeq
+    val diff = productElementNames.zip(productIterator).zip(defaults)
+      .collect { case ((n, v), d) if v != d => s"$n=$v" }.toSeq
+    java.lang.Integer.toHexString(
+      ("DedupConfig" +: diff).mkString(";").hashCode)
+  }
 }
 
 /** The near-duplicate detection + clustering pipeline: stage-typed
@@ -318,10 +335,11 @@ object Dedup {
         val prefix = bTails.value.getOrElse(i - 1, Array.empty[BandRow])
         slidingPairs(prefix.iterator ++ it, w, maxH, skip = prefix.length)
       }
-      val out = pairs.toDF("a", "b", "dist", "from_minhash")
-        .groupBy("a", "b").agg(min("dist").as("dist"),
-          max("from_minhash").as("from_minhash"))
-        .localCheckpoint() // eager: materialized before rdd/broadcast release
+      val out = graft.core.Checkpoints.ckpt(
+        pairs.toDF("a", "b", "dist", "from_minhash")
+          .groupBy("a", "b").agg(min("dist").as("dist"),
+            max("from_minhash").as("from_minhash"))
+      ) // eager: materialized before rdd/broadcast release
       bTails.destroy()
       out
     } finally rdd.unpersist(false)
@@ -333,7 +351,7 @@ object Dedup {
     * a second copy. */
   def candidatesMaterialized(bandsDf: DataFrame, cfg: DedupConfig): DataFrame =
     if (cfg.rangeSaltedCandidates) candidatesSalted(bandsDf, cfg)
-    else candidatesHashed(bandsDf, cfg).localCheckpoint()
+    else graft.core.Checkpoints.ckpt(candidatesHashed(bandsDf, cfg))
 
   /** Full-width Hamming distance as a built-in column expression — pure
     * codegen, no UDF (`bit_count` ≥ Spark 3.3; SURVEY.md §1.3). */
@@ -376,7 +394,7 @@ object Dedup {
     * accumulate block storage. */
   def run(images: DataFrame, cfg: DedupConfig = DedupConfig()): DataFrame =
     graft.core.Checkpoints.scoped(images.sparkSession) {
-      val sigs = signatures(images, cfg).localCheckpoint()
+      val sigs = graft.core.Checkpoints.ckpt(signatures(images, cfg))
       // checkpoint: `verified` consumes candidates on two branches (Hamming
       // accept + minhash-jaccard remainder) and Catalyst does not reuse
       // common subplans across DataFrame branches — without this the whole

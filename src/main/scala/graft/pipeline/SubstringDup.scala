@@ -101,8 +101,8 @@ object SubstringDup {
     // the raw text bytes at w=40), so checkpointing it is far cheaper than
     // recomputing the explode. (Same windowed-hash explode as
     // `windowTable`, renamed to this operator's key column.)
-    val wins = windowTable(rows, w).select(col("b").as("id"), col("k"))
-      .localCheckpoint()
+    val wins = graft.core.Checkpoints.ckpt(
+      windowTable(rows, w).select(col("b").as("id"), col("k")))
     val kept = graft.ops.TextOps.dropHotKeys(wins, "k", maxWindowDf,
       "sharedSpanPairs")
     val cands = kept.select(col("id").as("a"), col("k"))

@@ -68,21 +68,21 @@ object TieredImageDedup {
     * monolithic pipeline, so a verdict here is comparable to `Dedup.run`
     * over the same config). */
   def run(images: DataFrame, cfg: DedupConfig = DedupConfig()): Result = {
+    import graft.core.Checkpoints
     val spark = images.sparkSession
-    val before = graft.core.Checkpoints.snapshot(spark)
+    val Seq(verdictsR, nearPairsR, subPairsR) = Checkpoints.scopedSeq(spark) {
 
     // ---- tier 1: exact record (one shuffle on the content hash; the
     // heavy bytes column never shuffles — only its digest does) ----
     // checkpointed: it feeds both the groupBy and the join-back, and
     // Catalyst does not share subplans across DataFrame branches — without
     // this the sha-256 over every image's bytes runs twice per action
-    val hashed = images.select(col("image_id"),
-      recordSha(col("bytes"), col("caption")).as("record_sha"))
-      .localCheckpoint()
+    val hashed = Checkpoints.ckpt(images.select(col("image_id"),
+      recordSha(col("bytes"), col("caption")).as("record_sha")))
     val canon1 = hashed.groupBy("record_sha")
       .agg(min("image_id").as("canonical_id"))
-    val labeled1 = hashed.join(canon1, "record_sha")
-      .select("image_id", "canonical_id").localCheckpoint()
+    val labeled1 = Checkpoints.ckpt(hashed.join(canon1, "record_sha")
+      .select("image_id", "canonical_id"))
     val t1 = labeled1.filter(col("image_id") =!= col("canonical_id"))
       .select(col("image_id"), lit(1).as("tier"), col("canonical_id"))
     val surv1 = images.join(
@@ -98,10 +98,10 @@ object TieredImageDedup {
     val decodable = surv1.filter(col("bytes").isNotNull)
     val nullBytes = surv1.filter(col("bytes").isNull)
       .select(col("image_id"), col("caption"))
-    val sigs = Dedup.signatures(decodable, cfg).localCheckpoint()
+    val sigs = Checkpoints.ckpt(Dedup.signatures(decodable, cfg))
     val cands = Dedup.candidatesMaterialized(Dedup.bands(sigs, cfg), cfg)
-    val nearPairs = Dedup.verified(cands, sigs, cfg).distinct()
-      .localCheckpoint()
+    val nearPairs = Checkpoints.ckpt(
+      Dedup.verified(cands, sigs, cfg).distinct())
     val lab2 = components(spark, sigs.select("image_id"), nearPairs)
     val t2 = lab2.filter(col("image_id") =!= col("canonical_id"))
       .select(col("image_id"), lit(2).as("tier"), col("canonical_id"))
@@ -117,8 +117,8 @@ object TieredImageDedup {
     val capRows = sigs.join(surv2, Seq("image_id"), "left_semi")
       .select(col("image_id").as("id"), col("caption_norm").as("text"))
       .unionByName(nullByteCaps)
-    val subPairs = SubstringDup.containedPairs(spark, capRows,
-      cfg.substringWindow).localCheckpoint()
+    val subPairs = Checkpoints.ckpt(SubstringDup.containedPairs(spark,
+      capRows, cfg.substringWindow))
     val lab3raw = components(spark,
       surv2.unionByName(nullBytes.select("image_id")), subPairs)
     // canonical RE-ELECTION: a mixed component (decodable + undecodable
@@ -142,15 +142,14 @@ object TieredImageDedup {
       .select(col("image_id"), lit(0).as("tier"),
         col("image_id").as("canonical_id"))
 
-    val verdicts = t1.union(t2).union(t3).union(kept).orderBy("image_id")
-      .localCheckpoint()
     // scoped release (graft.core.Checkpoints): the cascade's intermediate
     // checkpoints (hashed, labeled1, sigs, cands, CC label tables) die
-    // here; only the three result frames stay persisted for the caller
-    val keepIds = Seq(verdicts, nearPairs, subPairs)
-      .flatMap(graft.core.Checkpoints.checkpointRddId).toSet
-    graft.core.Checkpoints.sweep(spark, before, keepIds)
-    Result(verdicts, nearPairs, subPairs)
+    // when the scope closes; only the three result frames stay persisted
+    // for the caller
+    Seq(t1.union(t2).union(t3).union(kept).orderBy("image_id"),
+      nearPairs, subPairs)
+    }
+    Result(verdictsR, nearPairsR, subPairsR)
   }
 
   /** Min-id transitive closure over string image ids (ConnectedComponents'

@@ -612,14 +612,14 @@ object StreamingDedup {
     // (hashes, sigs, bands, window tables, candidates, pair log) is on
     // disk in the state tables by batch end — nothing distributed survives
     // the batch, so a long-running stream must not accumulate block
-    // storage across thousands of batches (graft.core.Checkpoints;
-    // clustersIncremental's label snapshot lives in a different call path
-    // and manages its own lifetime)
-    val beforeRdds = graft.core.Checkpoints.snapshot(spark)
-    try processBatchImpl(spark, batch, stateDir, cfg, batchId, metrics,
-      stateP, compactEvery)
-    finally {
-      graft.core.Checkpoints.sweep(spark, beforeRdds); ()
+    // storage across thousands of batches. The scope releases ONLY blocks
+    // this batch created via Checkpoints.ckpt — a concurrent reader on the
+    // same context (clustersIncremental's label snapshot, a monitoring
+    // thread's clustersFromState) is never swept out from under its own
+    // truncated lineage
+    graft.core.Checkpoints.scopedUnit(spark) {
+      processBatchImpl(spark, batch, stateDir, cfg, batchId, metrics,
+        stateP, compactEvery)
     }
   }
 
@@ -670,9 +670,9 @@ object StreamingDedup {
     // connectivity (and recall) is preserved transitively. The hashes
     // table holds keepers only, hence one row per sha by construction;
     // the groupBy-min on the probe read is defensive, not load-bearing.
-    val newHashes = batch.select(col("image_id"),
+    val newHashes = graft.core.Checkpoints.ckpt(batch.select(col("image_id"),
       graft.pipeline.TieredImageDedup.recordSha(col("bytes"), col("caption"))
-        .as("record_sha")).localCheckpoint()
+        .as("record_sha")))
     val hashTouched =
       if (!hasState) Set.empty[Int]
       else touchedPartitions(newHashes, Seq(col("record_sha")), stateP)
@@ -682,10 +682,9 @@ object StreamingDedup {
       .agg(min("image_id").as("rep"))
     val minNew = newHashes.groupBy("record_sha")
       .agg(min("image_id").as("min_new"))
-    val labeledNew = newHashes
+    val labeledNew = graft.core.Checkpoints.ckpt(newHashes
       .join(oldRep, Seq("record_sha"), "left").join(minNew, "record_sha")
-      .withColumn("canon", coalesce(col("rep"), col("min_new")))
-      .localCheckpoint()
+      .withColumn("canon", coalesce(col("rep"), col("min_new"))))
     val exactPairs = labeledNew.filter(col("image_id") =!= col("canon"))
       .select(col("image_id").as("a"), col("canon").as("b"))
     val keeperHashes = labeledNew.filter(col("image_id") === col("canon"))
@@ -698,17 +697,18 @@ object StreamingDedup {
     // key bits; the PERSISTED sigs/index tables never see margins or probe
     // rows — probing is query-side only, which is what lets cfg.nBands
     // (the stored band count, the dominant state volume) shrink
-    val sigsAll =
-      (if (cfg.bandProbes > 0) Dedup.signaturesWithMargins(survivors, cfg)
-       else Dedup.signatures(survivors, cfg)).localCheckpoint()
+    val sigsAll = graft.core.Checkpoints.ckpt(
+      if (cfg.bandProbes > 0) Dedup.signaturesWithMargins(survivors, cfg)
+      else Dedup.signatures(survivors, cfg))
     val sigs =
       if (cfg.bandProbes > 0) sigsAll.drop("margins") else sigsAll
-    val newBands = Dedup.bands(sigs, cfg).localCheckpoint()
+    val newBands = graft.core.Checkpoints.ckpt(Dedup.bands(sigs, cfg))
     // exact + probe rows: everything this batch PROBES with (per-band
     // flipped-key rows collide with stored exact keys one bit-flip away)
     val probeSet =
       if (cfg.bandProbes > 0)
-        newBands.unionByName(Dedup.probeBands(sigsAll, cfg).localCheckpoint())
+        newBands.unionByName(
+          graft.core.Checkpoints.ckpt(Dedup.probeBands(sigsAll, cfg)))
       else newBands
     phase("featurize+bands")
     // replay: withdraw this batch's ONE commit marker BEFORE touching its
@@ -721,8 +721,10 @@ object StreamingDedup {
     val w = cfg.substringWindow
     val newTexts = sigs.select(col("image_id").as("id"),
       col("caption_norm").as("text"))
-    val newAnch = SubstringDup.anchorTable(newTexts, w).localCheckpoint()
-    val newWins = SubstringDup.windowTable(newTexts, w).localCheckpoint()
+    val newAnch = graft.core.Checkpoints.ckpt(
+      SubstringDup.anchorTable(newTexts, w))
+    val newWins = graft.core.Checkpoints.ckpt(
+      SubstringDup.windowTable(newTexts, w))
     phase("substring tables")
     val noneTouched = Map("idx" -> Set.empty[Int], "anch" -> Set.empty[Int],
       "wins" -> Set.empty[Int])
@@ -747,7 +749,7 @@ object StreamingDedup {
     // once, making the probed-row count a scan of local blocks instead of a
     // recomputation of the state read + semi-join
     val relevantOld =
-      if (metrics) relevantOld0.localCheckpoint() else relevantOld0
+      if (metrics) graft.core.Checkpoints.ckpt(relevantOld0) else relevantOld0
     val relevant = relevantOld.union(probeSet)
     val cands = Dedup.candidatesMaterialized(relevant, cfg)
     phase("index probe+candidates")
@@ -761,12 +763,12 @@ object StreamingDedup {
       Some(touched0("anch")), metrics)
     val (oldWins, winStats) = readState(spark, winsPath, newWins.schema, self,
       Some(touched0("wins")), metrics)
-    val ssCands = newAnch.join(oldWins.union(newWins), "k")
-      .union(oldAnch.join(newWins, "k"))
-      .filter(col("a") =!= col("b"))
-      .select(col("a"), col("b"))
-      .distinct()
-      .localCheckpoint()
+    val ssCands = graft.core.Checkpoints.ckpt(
+      newAnch.join(oldWins.union(newWins), "k")
+        .union(oldAnch.join(newWins, "k"))
+        .filter(col("a") =!= col("b"))
+        .select(col("a"), col("b"))
+        .distinct())
     phase("substring candidates")
     // old signatures: the MinHash verify and the substring contains-check
     // only ever dereference ids that appear in a candidate pair — prune the
@@ -793,7 +795,7 @@ object StreamingDedup {
     import scala.concurrent.ExecutionContext.Implicits.global
     val allPairs = verifiedPairs.union(ssPairs).union(exactPairs)
     val batchPairs =
-      if (metrics) allPairs.localCheckpoint() else allPairs
+      if (metrics) graft.core.Checkpoints.ckpt(allPairs) else allPairs
     val writes = Seq(
       batchPairs -> batchDir(pairsPath),
       newBands -> batchDir(indexPath),
@@ -1163,6 +1165,9 @@ object StreamingDedup {
     val maxBatch = ((sigC.batches ++ pairC.batches).map(_._1)
       .filter(centralIds.contains) :+ baseFloor).max
 
+    // NOTE: raw localCheckpoint (not Checkpoints.ckpt) throughout this
+    // method — the label snapshot deliberately OUTLIVES any operator scope
+    // (it is reused across incremental calls) and manages its own lifetime.
     def writeSnapshot(labels: DataFrame, upto: Long): DataFrame = {
       // never rewrite the LIVE snapshot in place: when the frontier has not
       // advanced (upto == previous id — e.g. every batch beyond it is a
