@@ -25,16 +25,24 @@ object DedupJob {
     val io = new ParquetTableIO(workDir)
     val stages = new StageRunner(io, spark, cfgHash)
 
-    val sigs = stages.stage("signatures")(Dedup.signatures(images, cfg))
+    val sigs = stages.stage("signatures")(
+      if (cfg.bandProbes > 0) Dedup.signaturesWithMargins(images, cfg)
+      else Dedup.signatures(images, cfg))
     // persist the band table range-partitioned + sorted on the bucket key —
     // the reference's ordered index layout (T1, simhashsearchindex.hpp:98-99)
     // as a columnar table: bucket probes become partition-pruned scans and
-    // the sorted-neighbor pass reads presorted runs
+    // the sorted-neighbor pass reads presorted runs. EXACT keys only: under
+    // a multi-probe config (cfg.bandProbes > 0) the probe rows are generated
+    // transiently into the candidate pass below — never persisted, so the
+    // stored index keeps the reduced-band volume that is the probes' point.
     val bands = stages.stage("bands")(
       Dedup.bands(sigs, cfg)
         .repartitionByRange(col("band_id"), col("band_key"), col("sort_hi"))
         .sortWithinPartitions("band_id", "band_key", "sort_hi", "sort_lo"))
-    val cands = stages.stage("candidates")(Dedup.candidates(bands, cfg))
+    val candInput =
+      if (cfg.bandProbes > 0) bands.unionByName(Dedup.probeBands(sigs, cfg))
+      else bands
+    val cands = stages.stage("candidates")(Dedup.candidates(candInput, cfg))
     val pairs = stages.stage("pairs")(
       Dedup.verified(cands, sigs, cfg)
         .union(Dedup.substringPairs(sigs, cfg)).distinct())

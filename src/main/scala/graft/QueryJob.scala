@@ -48,7 +48,13 @@ object QueryJob {
   def run(spark: SparkSession, workDir: String, queries: DataFrame,
       minSimilarity: Double = 0.8, topN: Int = 5,
       metadataTxt: Option[String] = None,
-      cfg: DedupConfig = DedupConfig(), extraProbes: Int = 0): DataFrame = {
+      cfg: DedupConfig = DedupConfig(), probes: Int = -1): DataFrame = {
+    // one probe knob: the explicit parameter (CLI [probes]) when given,
+    // else the config's own bandProbes — a cfg carrying bandProbes > 0
+    // must probe here too, not silently query exact-only (the index that
+    // cfg built with DedupJob stores the reduced band count that NEEDS
+    // query-side probes for its recall)
+    val extraProbes = if (probes >= 0) probes else cfg.bandProbes
     val cfgHash = cfg.stageHash
     val io = new ParquetTableIO(workDir)
     val index = io.readStage(spark, "bands", cfgHash).getOrElse(sys.error(
@@ -99,7 +105,7 @@ object QueryJob {
     val probes = args.lift(6).map(_.toInt).getOrElse(0)
     val spark = Bench.makeSession(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
     val result = run(spark, workDir, spark.read.parquet(queriesPath),
-      minSim, topN, metadata, extraProbes = probes)
+      minSim, topN, metadata, probes = probes)
       .orderBy(col("query_id"), col("rank"))
     result.write.mode("overwrite").parquet(outDir)
     val persisted = spark.read.parquet(outDir)

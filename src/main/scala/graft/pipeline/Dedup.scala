@@ -39,6 +39,10 @@ final case class DedupConfig(
     featurize: FeaturizeConfig = FeaturizeConfig()) {
   require(minhashBands * minhashRows <= featurize.minhashK,
     "minhash banding exceeds sketch size")
+  // fail at construction, not inside an executor UDF mid-batch (in
+  // streaming that would surface AFTER the batch's commit marker moved)
+  require(bandProbes >= 0 && bandProbes <= prefixBits,
+    s"bandProbes $bandProbes must be in [0, prefixBits=$prefixBits]")
 
   /** Stage-table key for checkpoint-resume (DedupJob/QueryJob): a hex hash
     * over the NON-DEFAULT fields only, as `name=value` pairs. The raw
@@ -48,7 +52,16 @@ final case class DedupConfig(
     * reopened-never-rebuilt contract on upgrade); comparing field-by-field
     * against the default instance keeps previously committed stages
     * reachable across additive config evolution, while changing any
-    * EFFECTIVE value still re-keys every stage, as it must. */
+    * EFFECTIVE value still re-keys every stage, as it must.
+    *
+    * One-time migration note: stages committed under the pre-round-5 key
+    * (`cfg.toString.hashCode`, which baked in the then-current field list)
+    * are re-keyed by this change itself — DedupJob recomputes them once
+    * (stage manifests are a cache, recompute is the designed degradation)
+    * and QueryJob fails fast with the rebuild instruction. The old key
+    * cannot be recovered from the current class (the field list already
+    * grew), which is exactly the defect this scheme removes going
+    * forward. */
   def stageHash: String = {
     val defaults = DedupConfig().productIterator.toSeq
     val diff = productElementNames.zip(productIterator).zip(defaults)
@@ -388,18 +401,32 @@ object Dedup {
       images.select(col("image_id").as("id")))
       .withColumnRenamed("id", "image_id")
 
+  /** The sorted-neighbor candidate input for a self-dedup batch: the exact
+    * band rows, plus — when `cfg.bandProbes > 0` — every row's TRANSIENT
+    * probe rows ([[probeBands]]), which sort adjacent to the flipped
+    * bucket's true members so a reduced-band config recovers the recall of
+    * a wide one (the batch form of the streaming probe join; `sigs` must
+    * carry `margins` when probing). Probe rows exist only inside this
+    * candidate pass — anything PERSISTED (DedupJob's bands stage, the
+    * streaming index) stays exact-only. */
+  def candidateBands(sigs: DataFrame, cfg: DedupConfig): DataFrame =
+    if (cfg.bandProbes > 0) bands(sigs, cfg).unionByName(probeBands(sigs, cfg))
+    else bands(sigs, cfg)
+
   /** End-to-end: images → (image_id, cluster_id). Scoped ([[graft.core
     * .Checkpoints]]): the signature/candidate checkpoints are released once
     * the clustering is materialized, so repeated runs in one session do not
     * accumulate block storage. */
   def run(images: DataFrame, cfg: DedupConfig = DedupConfig()): DataFrame =
     graft.core.Checkpoints.scoped(images.sparkSession) {
-      val sigs = graft.core.Checkpoints.ckpt(signatures(images, cfg))
+      val sigs = graft.core.Checkpoints.ckpt(
+        if (cfg.bandProbes > 0) signaturesWithMargins(images, cfg)
+        else signatures(images, cfg))
       // checkpoint: `verified` consumes candidates on two branches (Hamming
       // accept + minhash-jaccard remainder) and Catalyst does not reuse
       // common subplans across DataFrame branches — without this the whole
       // band-sort-window DAG executes twice
-      val cands = candidatesMaterialized(bands(sigs, cfg), cfg)
+      val cands = candidatesMaterialized(candidateBands(sigs, cfg), cfg)
       // no .distinct() here: ConnectedComponents symmetrizes + distincts the
       // edge set anyway — one shuffle instead of two
       val pairs = verified(cands, sigs, cfg)

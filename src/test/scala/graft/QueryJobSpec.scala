@@ -107,7 +107,7 @@ class QueryJobSpec extends AnyFunSuite {
     // this pins the CLI plumbing (margins ride along, probe rows join, the
     // verify/rank semantics are unchanged by probing)
     val hits = QueryJob.run(spark, s"$root/work", images, topN = 1,
-      cfg = cfg, extraProbes = 3)
+      cfg = cfg, probes = 3)
     assert(hits.filter(col("rank") === 1)
       .filter(col("similarity") === 128).count() === n)
     // pre-computed signatures WITHOUT margins cannot probe: fail fast with
@@ -116,7 +116,7 @@ class QueryJobSpec extends AnyFunSuite {
       .select(col("image_id").as("query_id"), col("sim_hi"), col("sim_lo"))
       .localCheckpoint()
     val e = intercept[IllegalArgumentException] {
-      QueryJob.run(spark, s"$root/work", bare, cfg = cfg, extraProbes = 3)
+      QueryJob.run(spark, s"$root/work", bare, cfg = cfg, probes = 3)
     }
     assert(e.getMessage.contains("margins"))
     // ... and WITH margins they probe fine (signaturesWithMargins is the
@@ -125,7 +125,7 @@ class QueryJobSpec extends AnyFunSuite {
       .select(col("image_id").as("query_id"), col("sim_hi"), col("sim_lo"),
         col("margins"))
     assert(QueryJob.run(spark, s"$root/work", withM, topN = 1,
-      cfg = cfg, extraProbes = 3)
+      cfg = cfg, probes = 3)
       .filter(col("rank") === 1)
       .filter(col("similarity") === 128).count() === n)
   }

@@ -89,6 +89,37 @@ class DedupPipelineSpec extends AnyFunSuite {
     assert(truthPairs.subsetOf(pairs))
   }
 
+  test("batch multi-probe: 8 stored bands + 3 probes keeps planted recall of the 28-band run") {
+    // the BATCH form of the streaming multi-probe contract: Dedup.run with
+    // a reduced-band config must recover the wide config's truth pairs via
+    // transient query-side probe rows (candidateBands), while the band
+    // table a DedupJob would PERSIST stays at the reduced row volume
+    val (images, truth) = SyntheticCorpus.generate(spark, nGroups = 12,
+      variantsPerGroup = 3, nDistractors = 15)
+    val rows = images.localCheckpoint()
+    val tl = truth.select(col("group_id"), col("image_id").as("a"))
+    val tr = truth.select(col("group_id"), col("image_id").as("b"))
+    val truthPairs = tl.join(tr, "group_id").filter(col("a") < col("b"))
+      .select("a", "b").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    def pairs(cfg: DedupConfig) = Dedup.clusterPairs(Dedup.run(rows, cfg))
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    val wide = pairs(DedupConfig())
+    val probed = pairs(DedupConfig(nBands = 8, bandProbes = 3))
+    assert(truthPairs.subsetOf(wide), "28-band baseline lost truth pairs")
+    assert(truthPairs.subsetOf(probed),
+      s"8-band+3-probe run lost ${truthPairs.diff(probed).size} truth pairs")
+    // what DedupJob persists is the EXACT band table only — probe rows are
+    // transient; the stored index shrinks with the band count
+    val cfgP = DedupConfig(nBands = 8, bandProbes = 3)
+    val sigsP = Dedup.signaturesWithMargins(rows, cfgP)
+    val exactRows = Dedup.bands(sigsP, cfgP).count()
+    val wideRows = Dedup.bands(Dedup.signatures(rows, DedupConfig()),
+      DedupConfig()).count()
+    assert(exactRows < wideRows,
+      s"reduced-band index ($exactRows rows) not smaller than wide ($wideRows)")
+  }
+
   test("signatures are identical across parallelism levels (determinism gate)") {
     val cfg = DedupConfig()
     val (images, _) = SyntheticCorpus.generate(spark, 5, 2, 5)
