@@ -129,4 +129,35 @@ class QueryJobSpec extends AnyFunSuite {
       .filter(col("rank") === 1)
       .filter(col("similarity") === 128).count() === n)
   }
+
+  test("DedupJob under a bandProbes config: probes transient, recall kept, probe default flows to QueryJob") {
+    val root = Files.createTempDirectory("graft-dedupjob-mp").toString
+    val (images0, truth) = SyntheticCorpus.generate(spark,
+      nGroups = 10, variantsPerGroup = 3, nDistractors = 12)
+    val images = images0.localCheckpoint()
+    val cfg = DedupConfig(nBands = 8, bandProbes = 3)
+    val clusters = DedupJob.run(spark, images, s"$root/work", cfg)
+    // recall vs planted truth through the full persisted-stage pipeline
+    val tl = truth.select(col("group_id"), col("image_id").as("a"))
+    val tr = truth.select(col("group_id"), col("image_id").as("b"))
+    val truthPairs = tl.join(tr, "group_id").filter(col("a") < col("b"))
+      .select("a", "b").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    val pairs = Dedup.clusterPairs(clusters).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(truthPairs.subsetOf(pairs),
+      s"probed DedupJob lost ${truthPairs.diff(pairs).size} truth pairs")
+    // the COMMITTED bands stage holds exactly the exact-key rows — probe
+    // rows are generated transiently into the candidate pass, never stored
+    val io = new graft.io.ParquetTableIO(s"$root/work")
+    val stored = io.readStage(spark, "bands", cfg.stageHash).get.count()
+    val exact = Dedup.bands(
+      io.readStage(spark, "signatures", cfg.stageHash).get, cfg).count()
+    assert(stored === exact, s"persisted bands $stored != exact rows $exact")
+    // QueryJob with NO explicit probes argument inherits cfg.bandProbes —
+    // a reduced-band index must never be silently queried exact-only
+    val hits = QueryJob.run(spark, s"$root/work", images, topN = 1, cfg = cfg)
+    assert(hits.filter(col("rank") === 1)
+      .filter(col("similarity") === 128).count() === images.count())
+  }
 }
