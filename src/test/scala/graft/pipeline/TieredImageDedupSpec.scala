@@ -68,6 +68,28 @@ class TieredImageDedupSpec extends AnyFunSuite {
     ()
   }
 
+  test("reduced-band multi-probe config keeps the wide config's tier-2 drops") {
+    // the cascade's tier 2 under DedupConfig(nBands = 8, bandProbes = 3)
+    // must recover the 28-band run's near-dup evidence via transient probe
+    // rows (candidateBands) — the same contract DedupPipelineSpec pins for
+    // the monolithic run, here through the tiered surface
+    val (images, truth) = SyntheticCorpus.generate(spark, nGroups = 10,
+      variantsPerGroup = 3, nDistractors = 12)
+    val all = images.localCheckpoint()
+    def drops(cfg: DedupConfig): Map[String, String] =
+      TieredImageDedup.run(all, cfg).verdicts.collect()
+        .filter(_.getInt(1) > 0)
+        .map(r => r.getString(0) -> r.getString(2)).toMap
+    val wide = drops(DedupConfig())
+    val probed = drops(DedupConfig(nBands = 8, bandProbes = 3))
+    // every wide-config drop has SOME drop verdict under the probed config
+    // (canonical election may differ when candidate edges differ; what must
+    // not happen is a dup surviving the reduced-band cascade)
+    val lost = wide.keySet.diff(probed.keySet)
+    assert(lost.isEmpty,
+      s"${lost.size} wide-config drops survived the 8-band+3-probe cascade")
+  }
+
   test("null-bytes rows flow through the cascade: tier-1 dedup, tier-3 captions, no decode crash") {
     import spark.implicits._
     val cfg = DedupConfig()
