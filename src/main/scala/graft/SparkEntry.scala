@@ -273,7 +273,7 @@ object SparkEntry {
         // + 0.0 canonicalizes IEEE negative zero: values in (-0.05, 0]
         // round to -0.0, and a hash aggregate may surface either zero as
         // the group representative (observed as a DuckDB-side flake)
-        .select((round(EmbeddingOps.dotUdf(col("a_emb"), col("b_emb")) /
+        .select((round(EmbeddingOps.dotCol(col("a_emb"), col("b_emb")) /
           (col("a_nrm") * col("b_nrm")), 1) + lit(0.0)).as("cos_bucket"))
         .groupBy("cos_bucket").agg(count(lit(1)).as("n"))
         .orderBy("cos_bucket")

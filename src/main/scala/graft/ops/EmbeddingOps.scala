@@ -14,16 +14,24 @@ import org.apache.spark.sql.expressions.Window
   * random-hyperplane LSH bucketing, which is exactly the SimHash machinery:
   * sign-of-projection bits, Hamming banding, verify by true cosine.
   *
-  * Dot products run in a compiled Scala UDF (left-to-right double
-  * accumulation, arithmetic-identical to the DuckDB oracle's
-  * `list_dot_product`): Catalyst's `aggregate` higher-order function is
-  * CodegenFallback and ~100x slower in the O(n²) verify loop. Norms are
-  * computed once per row BEFORE the pair join, not per pair.
+  * Dot products run in a native codegen Catalyst expression
+  * (`graft.expr.DotProductF`: left-to-right double accumulation,
+  * arithmetic-identical to the DuckDB oracle's `list_dot_product`):
+  * Catalyst's `aggregate` higher-order function is CodegenFallback and
+  * ~100x slower in the O(n²) verify loop, and even a compiled Scala UDF
+  * pays a per-row ArrayData->Seq conversion and breaks the whole-stage
+  * codegen span. Norms are computed once per row BEFORE the pair join,
+  * not per pair.
   */
 object EmbeddingOps {
 
-  /** Left-to-right double-precision dot product. */
-  val dotUdf = udf((a: Seq[Float], b: Seq[Float]) => {
+  /** Left-to-right double-precision dot product — whole-stage-codegen
+    * Catalyst expression; bit-identical to `dotUdfLegacy`. */
+  def dotCol(a: Column, b: Column): Column = graft.expr.VectorExprs.dot(a, b)
+
+  /** The pre-expression compiled-closure implementation, kept ONLY for the
+    * equivalence spec and A/B measurement (VectorExprsSpec). */
+  val dotUdfLegacy = udf((a: Seq[Float], b: Seq[Float]) => {
     var s = 0.0
     var i = 0
     val n = math.min(a.length, b.length)
@@ -31,7 +39,7 @@ object EmbeddingOps {
     s
   })
 
-  def normCol(a: Column): Column = sqrt(dotUdf(a, a))
+  def normCol(a: Column): Column = sqrt(dotCol(a, a))
 
   /** Tiny inputs arrive as one parquet split; fan the O(n²) stream side out
     * to the session's parallelism before the pair join. */
@@ -52,7 +60,7 @@ object EmbeddingOps {
         col("nrm").as("n_nrm"))
     val scored = broadcast(queries).join(corpus, col("q_id") =!= col("n_id"))
       .withColumn("cos",
-        dotUdf(col("q_emb"), col("n_emb")) / (col("q_nrm") * col("n_nrm")))
+        dotCol(col("q_emb"), col("n_emb")) / (col("q_nrm") * col("n_nrm")))
     val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id").asc)
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
@@ -72,7 +80,7 @@ object EmbeddingOps {
       col("embedding").as("b_emb"), col("nrm").as("b_nrm"))
     a.join(broadcast(b), col("a") < col("b"))
       .withColumn("cos",
-        dotUdf(col("a_emb"), col("b_emb")) / (col("a_nrm") * col("b_nrm")))
+        dotCol(col("a_emb"), col("b_emb")) / (col("a_nrm") * col("b_nrm")))
       .filter(col("cos") >= minCos)
       .select(col("a").as("vec_a"), col("b").as("vec_b"),
         round(col("cos"), 4).as("cos"))
@@ -490,7 +498,7 @@ object EmbeddingOps {
       .join(withNorm.select(col("vec_id").as("n_id"), col("embedding").as("n_emb"),
         col("nrm").as("n_nrm")), "n_id")
       .withColumn("cos",
-        dotUdf(col("q_emb"), col("n_emb")) / (col("q_nrm") * col("n_nrm")))
+        dotCol(col("q_emb"), col("n_emb")) / (col("q_nrm") * col("n_nrm")))
     val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id").asc)
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
@@ -510,7 +518,7 @@ object EmbeddingOps {
       .join(withNorm.select(col("vec_id").as("b"), col("embedding").as("b_emb"),
         col("nrm").as("b_nrm")), "b")
       .withColumn("cos",
-        dotUdf(col("a_emb"), col("b_emb")) / (col("a_nrm") * col("b_nrm")))
+        dotCol(col("a_emb"), col("b_emb")) / (col("a_nrm") * col("b_nrm")))
       .filter(col("cos") >= minCos)
       .select(col("a").as("vec_a"), col("b").as("vec_b"),
         round(col("cos"), 4).as("cos"))
