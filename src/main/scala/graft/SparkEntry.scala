@@ -587,6 +587,31 @@ object SparkEntry {
         .select(col("a").as("doc_a"), col("b").as("doc_b"),
           col("n_shared").cast("long").as("n_shared"))
         .orderBy("doc_a", "doc_b")
+    }),
+    // ---- training-mix hygiene ops over documents ----
+    "q41_decontaminate" -> ((s, dir) => {
+      // eval-set decontamination (13-gram exact overlap): benchmark =
+      // every 10th doc, training = the rest; one row per contaminated
+      // training doc
+      val docs = rd(s, dir, "documents")
+      TextOps.decontaminate(
+        docs.filter(pmod(col("doc_id"), lit(10L)) =!= 0),
+        docs.filter(pmod(col("doc_id"), lit(10L)) === 0))
+    }),
+    "q42_repetition" -> ((s, dir) =>
+      TextOps.repetitionScore(rd(s, dir, "documents"))),
+    "q43_domain_mix" -> ((s, dir) => {
+      // deterministic domain mixing: per-source keep thresholds (src0-4 →
+      // 25%, src5-9 → 50%, src10-14 → 75%, src15-19 → ~100% of modulus)
+      val docs = rd(s, dir, "documents")
+      val thr = (0 until 20).map(i => s"src$i" -> ((i / 5 + 1) * 250000L)).toMap
+      val kept = TextOps.deterministicSample(docs, thr)
+      docs.groupBy("source").agg(count(lit(1)).as("n_total"))
+        .join(kept.groupBy("source").agg(count(lit(1)).as("n_kept")),
+          Seq("source"), "left")
+        .select(col("source"), col("n_total"),
+          coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+        .orderBy("source")
     })
   )
 
@@ -1281,6 +1306,56 @@ object SparkEntry {
         |  LEFT JOIN cnt c ON c.qid = g.qid AND c.cutoff = g.cutoff)
         |SELECT cutoff, round(avg(tpr), 6) AS tpr, round(avg(fpr), 6) AS fpr,
         |  round(avg(irr), 6) AS irr
-        |FROM per GROUP BY cutoff ORDER BY cutoff""".stripMargin
+        |FROM per GROUP BY cutoff ORDER BY cutoff""".stripMargin,
+    "q41_decontaminate" ->
+      """WITH tok AS (SELECT doc_id,
+        |   list_filter(regexp_split_to_array(text,'\s+'), x -> x <> '') AS t
+        |  FROM documents),
+        |g AS (SELECT doc_id, unnest(list_distinct(
+        |   [array_to_string(t[i:i+12], ' ') FOR i IN range(1, len(t)-11)])) AS gram
+        |  FROM tok WHERE len(t) >= 13),
+        |tr AS (SELECT * FROM g WHERE doc_id % 10 <> 0),
+        |be AS (SELECT doc_id AS bench_id, gram FROM g WHERE doc_id % 10 = 0)
+        |SELECT tr.doc_id, count(DISTINCT tr.gram) AS n_shared_grams,
+        |  count(DISTINCT bench_id) AS n_bench_docs
+        |FROM tr JOIN be USING (gram)
+        |GROUP BY tr.doc_id ORDER BY tr.doc_id""".stripMargin,
+    "q42_repetition" ->
+      """WITH tok AS (SELECT doc_id, length(text) AS n_txt,
+        |   list_filter(regexp_split_to_array(text,'\s+'), x -> x <> '') AS t
+        |  FROM documents),
+        |g2 AS (SELECT doc_id,
+        |   unnest([t[i] || ' ' || t[i+1] FOR i IN range(1, len(t))]) AS g
+        |  FROM tok WHERE len(t) >= 2),
+        |c2 AS (SELECT doc_id, g, count(*) AS c FROM g2 GROUP BY 1, 2),
+        |top2 AS (SELECT doc_id, g AS top_2gram, c AS top2n FROM (
+        |  SELECT doc_id, g, c, row_number() OVER (
+        |    PARTITION BY doc_id ORDER BY c DESC, g ASC) AS rn FROM c2)
+        |  WHERE rn = 1),
+        |g5 AS (SELECT doc_id,
+        |   unnest([array_to_string(t[i:i+4], ' ') FOR i IN range(1, len(t)-3)]) AS g
+        |  FROM tok WHERE len(t) >= 5),
+        |c5 AS (SELECT doc_id, g, count(*) AS c FROM g5 GROUP BY 1, 2),
+        |d5 AS (SELECT doc_id, sum(c) AS n5,
+        |   sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup5 FROM c5 GROUP BY 1)
+        |SELECT tok.doc_id, top_2gram,
+        |  CASE WHEN top2n > 0 THEN
+        |    round(top2n * length(top_2gram) / CAST(n_txt AS DOUBLE), 4)
+        |  END AS top_2gram_frac,
+        |  CASE WHEN n5 > 0 THEN round(CAST(dup5 AS DOUBLE) / n5, 4)
+        |  END AS dup_5gram_frac
+        |FROM tok LEFT JOIN top2 USING (doc_id) LEFT JOIN d5 USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+    "q43_domain_mix" ->
+      """WITH thr AS (SELECT source,
+        |   (CAST(substr(source, 4) AS BIGINT) // 5 + 1) * 250000 AS thr
+        |  FROM (SELECT DISTINCT source FROM documents)),
+        |kept AS (SELECT d.source FROM documents d JOIN thr USING (source)
+        |  WHERE ((d.doc_id * 40503 + 9973) % 1000003) < thr),
+        |k AS (SELECT source, count(*) AS n_kept FROM kept GROUP BY 1)
+        |SELECT d.source, count(*) AS n_total,
+        |  coalesce(any_value(k.n_kept), 0) AS n_kept
+        |FROM documents d LEFT JOIN k USING (source)
+        |GROUP BY d.source ORDER BY d.source""".stripMargin
   )
 }

@@ -180,4 +180,108 @@ object TextOps {
         df.join(hotDf, Seq(keyCol), "left_semi"))
     }
   }
+
+  /** Distinct word n-grams, space-joined — `shingles3Udf` generalized (same
+    * compiled-single-pass rationale; the HOF route re-executes the split
+    * per position). */
+  def gramsCol(text: Column, n: Int): Column = {
+    val g = udf((t: String) =>
+      if (t == null) Array.empty[String]
+      else {
+        val toks = t.split("\\s+").filter(_.nonEmpty)
+        if (toks.length < n) Array.empty[String]
+        else toks.sliding(n).map(_.mkString(" ")).toArray.distinct
+      })
+    g(text)
+  }
+
+  /** Test-set decontamination — the published exact-overlap recipe (GPT-3
+    * appendix C / Llama 2 §A.6: a training document is contaminated if it
+    * shares any word 13-gram with an evaluation benchmark). One row per
+    * contaminated training doc: distinct shared grams + distinct benchmark
+    * docs hit.
+    *
+    * Scale shape: benchmarks are small by nature (MBs of eval sets vs the
+    * full training corpus), so the bench gram table is BROADCAST — the
+    * training side streams scan → explode → broadcast-hash-join with no
+    * shuffle of training grams; the only shuffle is the per-doc aggregate
+    * over MATCHED rows (bounded by contamination volume, not corpus
+    * volume). If the bench side ever outgrew the broadcast budget the same
+    * plan degrades to a sort-merge join on the gram — semantics unchanged. */
+  def decontaminate(train: DataFrame, bench: DataFrame,
+      n: Int = 13): DataFrame = {
+    val tg = train.select(col("doc_id"),
+      explode(gramsCol(col("text"), n)).as("gram"))
+    val bg = bench.select(col("doc_id").as("bench_id"),
+      explode(gramsCol(col("text"), n)).as("gram"))
+    tg.join(broadcast(bg), "gram")
+      .groupBy("doc_id")
+      .agg(countDistinct("gram").as("n_shared_grams"),
+        countDistinct("bench_id").as("n_bench_docs"))
+      .orderBy("doc_id")
+  }
+
+  /** Per-doc intra-document repetition signals (the Gopher quality-filter
+    * family, Rae et al. 2021 §A1.1): the most frequent word 2-gram and the
+    * fraction of text characters its occurrences cover (count × gram length
+    * / text length), plus the fraction of 5-gram positions whose gram
+    * occurs more than once. Ties on the top 2-gram break to the
+    * lexicographically smallest gram; docs under 2 (resp. 5) tokens get
+    * NULL for the signal. A per-doc statistic needs no shuffle at all — one
+    * compiled single-pass UDF per row (map-only projection), NOT a
+    * groupBy(doc, gram) that would shuffle every gram in the corpus. */
+  val repetitionUdf = udf((text: String) => {
+    val toks =
+      if (text == null) Array.empty[String]
+      else text.split("\\s+").filter(_.nonEmpty)
+    def counts(n: Int): scala.collection.mutable.HashMap[String, Int] = {
+      val m = scala.collection.mutable.HashMap.empty[String, Int]
+      if (toks.length >= n) toks.sliding(n).foreach { g =>
+        val k = g.mkString(" "); m.update(k, m.getOrElse(k, 0) + 1)
+      }
+      m
+    }
+    val c2 = counts(2)
+    val (top2, top2n) =
+      if (c2.isEmpty) (null: String, 0)
+      else c2.toArray.minBy { case (g, c) => (-c, g) }
+    val c5 = counts(5)
+    (top2, top2n, c5.valuesIterator.sum,
+      c5.valuesIterator.filter(_ > 1).sum)
+  })
+
+  def repetitionScore(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), length(col("text")).as("n_txt"),
+      repetitionUdf(col("text")).as("r"))
+      .select(col("doc_id"),
+        col("r._1").as("top_2gram"),
+        when(col("r._2") > 0,
+          round(col("r._2") * length(col("r._1")) /
+            col("n_txt").cast("double"), 4)).as("top_2gram_frac"),
+        when(col("r._3") > 0,
+          round(col("r._4").cast("double") / col("r._3"), 4))
+          .as("dup_5gram_frac"))
+      .orderBy("doc_id")
+
+  /** Deterministic per-source sampling — the domain-mixing step of a
+    * training-data pipeline (down/up-weight sources to a target mix).
+    * Keep a row iff `(doc_id·40503 + 9973) mod m < thr(source)`: pure
+    * codegen arithmetic, reproducible across engines and re-runs (no RNG
+    * seed drift, unlike `sampleBy`), and exactly mirrorable in the DuckDB
+    * oracle. Map-only over the corpus — the thresholds are a broadcast dim
+    * join; sources absent from the map are dropped (rate 0). */
+  def deterministicSample(docs: DataFrame, thrBySource: Map[String, Long],
+      m: Long = 1000003L): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    val rows = thrBySource.toSeq.sortBy(_._1)
+      .map { case (s, t) => org.apache.spark.sql.Row(s, t) }
+    val dim = broadcast(docs.sparkSession.createDataFrame(rows.asJava,
+      StructType(Seq(StructField("source", StringType, nullable = false),
+        StructField("thr", LongType, nullable = false)))))
+    docs.join(dim, Seq("source"), "inner")
+      .filter(pmod(col("doc_id") * lit(40503L) + lit(9973L), lit(m)) <
+        col("thr"))
+      .drop("thr")
+  }
 }

@@ -332,4 +332,77 @@ class OpsSpec extends AnyFunSuite {
     val fp = TextOps.fingerprint(t).collect().map(_.getLong(1))
     assert(fp(0) !== fp(1))
   }
+
+  test("decontaminate flags exactly the 13-gram-overlap docs with per-doc counts") {
+    import spark.implicits._
+    // 13 shared tokens = exactly one shared 13-gram; the contaminated span
+    // sits mid-document on the training side, so the match is positional,
+    // not whole-doc. Doc 3 shares only 12 tokens -> NOT contaminated.
+    val span = (1 to 13).map(i => s"w$i").mkString(" ")
+    val train = Seq(
+      1L -> s"alpha beta $span gamma delta",
+      2L -> s"$span $span", // repeated span, still ONE distinct gram
+      3L -> (1 to 12).map(i => s"w$i").mkString(" "),
+      4L -> "totally unrelated text with thirteen completely different tokens here now one two three four")
+      .toDF("doc_id", "text")
+    val bench = Seq(
+      100L -> span,
+      101L -> s"prefix $span suffix")
+      .toDF("doc_id", "text")
+    val got = TextOps.decontaminate(train, bench).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // doc 1 and 2 each share the single gram with BOTH bench docs
+    assert(got.toSeq === Seq((1L, 1L, 2L), (2L, 1L, 2L)))
+  }
+
+  test("repetition score: top 2-gram, lexicographic tie break, coverage fractions, short-doc nulls") {
+    import spark.implicits._
+    val docs = Seq(
+      // "a b","b b","b a","a c" all occur 2x -> lexicographic tie break
+      // elects "a b"; 10 tokens -> 6 5-gram positions, of which the two
+      // "a b b a c" occurrences are the only dup positions
+      1L -> "a b b a c a b b a c",
+      // tie: "x y" and "y x" both occur twice -> lexicographically
+      // smallest wins ("x y")
+      2L -> "x y x y x",
+      3L -> "one", // < 2 tokens -> all signals null
+      4L -> "p q r s") // 4 tokens: has a 2-gram signal, no 5-grams
+      .toDF("doc_id", "text")
+    val out = TextOps.repetitionScore(docs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getString(1) === "a b")
+    // "a b" occurs 2x, len 3, text len 19 -> 2*3/19
+    assert(out(1L).getDouble(2) === BigDecimal(6.0 / 19)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    // 5-grams of doc1: [a b b a c],[b b a c a],[b a c a b],[a c a b b],
+    // [c a b b a],[a b b a c] -> "a b b a c" occurs twice -> dup 2/6
+    assert(out(1L).getDouble(3) === BigDecimal(2.0 / 6)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(out(2L).getString(1) === "x y")
+    assert(out(3L).isNullAt(1) && out(3L).isNullAt(2) && out(3L).isNullAt(3))
+    assert(out(4L).getString(1) === "p q") // all 2-grams tie at 1 -> lex min
+    assert(out(4L).isNullAt(3)) // no 5-gram positions
+  }
+
+  test("deterministic sample: exact membership by formula, absent sources dropped, rerun-stable") {
+    import spark.implicits._
+    val docs = (0L until 400L).map(i =>
+      (i, s"src${i % 4}", s"text $i")).toDF("doc_id", "source", "text")
+    val thr = Map("src0" -> 250000L, "src1" -> 1000003L, "src2" -> 0L)
+    val kept = TextOps.deterministicSample(docs, thr)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val want = (0L until 400L).filter { i =>
+      val t = (i % 4) match {
+        case 0 => 250000L; case 1 => 1000003L; case _ => -1L }
+      t >= 0 && ((i * 40503L + 9973L) % 1000003L) < t
+    }.toSet
+    assert(kept === want)
+    // src1 at thr=modulus keeps everything; src2 at 0 and src3 (absent)
+    // keep nothing
+    assert((0L until 400L).filter(_ % 4 == 1).forall(kept))
+    assert(kept.forall(i => i % 4 != 2 && i % 4 != 3))
+    val again = TextOps.deterministicSample(docs, thr)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(again === kept)
+  }
 }
