@@ -28,6 +28,14 @@ object PlanDump {
     // multi-probe ANN: the probe-vs-exact join must ship only (bk, id)
     // longs, with the hot-set anti-join broadcast, never a vector shuffle
     dump("q38_multiprobe_lsh")
+    // decontamination: the benchmark gram side must be a BroadcastExchange
+    // (training grams never shuffle); the training scan must read only
+    // (doc_id, text)
+    dump("q41_decontaminate")
+    // domain mixing: map-only — one broadcast hash join on the threshold
+    // dim, the keep predicate inside the scan's codegen stage, no shuffle
+    // before the per-source aggregate
+    dump("q43_domain_mix")
     // image pipeline stages
     println("\n===== image signatures -> bands -> candidates =====")
     val (images, _) = graft.images.SyntheticCorpus.generate(spark, 5, 2, 5)
