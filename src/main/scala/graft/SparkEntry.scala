@@ -188,6 +188,19 @@ object SparkEntry {
     // Jaccard verify, connected components, recall join) re-derived in
     // DuckDB. Corpus is materialized once (OracleDump.sharedCorpus) so
     // query timings measure pipeline work, not image synthesis. ----
+    "q44_ivf_pairs" -> ((s, dir) => {
+      // SemDeDup-style semantic dedup: IVF cell assignment (spherical
+      // k-means kernel in Spark, dumped as oracle evidence), intra-cell
+      // pair join through the skew-guarded candidate machinery, exact
+      // cosine verify — DuckDB re-derives everything downstream of the
+      // dumped cell table (same algebra as q22 on cell buckets)
+      val emb = rd(s, dir, "embeddings")
+      val cents = EmbeddingOps.ivfCentroids(emb, nCells = 16)
+      val cells = OracleDump.dump("q44_cells",
+        EmbeddingOps.ivfCells(emb, cents, nAssign = 3))
+      EmbeddingOps.verifyCosPairs(
+        EmbeddingOps.lshCandidates(cells, maxBucket = 1000), emb, minCos = 0.4)
+    }),
     "q23_img_clusters" -> ((s, _) => {
       val cfg = DedupConfig()
       val (images, _) = OracleDump.sharedCorpus(s, 40, 3, 30)
@@ -1004,6 +1017,27 @@ object SparkEntry {
         |  UNION
         |  SELECT h1.vec_id AS a, h2.vec_id AS b
         |    FROM hotex h1 JOIN hotex h2 ON h1.bk = h2.bk AND h2.rn = h1.rn + 1),
+        |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+        |SELECT cand.a AS vec_a, cand.b AS vec_b,
+        |  round(list_dot_product(ea.v, eb.v) /
+        |   (sqrt(list_dot_product(ea.v, ea.v)) * sqrt(list_dot_product(eb.v, eb.v))), 4)
+        |   AS cos
+        |FROM cand JOIN e ea ON ea.vec_id = cand.a JOIN e eb ON eb.vec_id = cand.b
+        |WHERE list_dot_product(ea.v, eb.v) /
+        |   (sqrt(list_dot_product(ea.v, ea.v)) * sqrt(list_dot_product(eb.v, eb.v))) >= 0.4
+        |ORDER BY vec_a, vec_b""".stripMargin,
+    "q44_ivf_pairs" ->
+      s"""WITH b0 AS (SELECT * FROM read_parquet('${OracleDump.glob("q44_cells")}')),
+        |occ AS (SELECT bk, count(*) AS c FROM b0 GROUP BY bk),
+        |b AS (SELECT b0.* FROM b0 JOIN occ USING (bk) WHERE c <= 1000),
+        |hot AS (SELECT b0.bk, b0.vec_id,
+        |    row_number() OVER (PARTITION BY b0.bk ORDER BY b0.vec_id) AS rn
+        |  FROM b0 JOIN occ USING (bk) WHERE c > 1000),
+        |cand AS (SELECT x.vec_id AS a, y.vec_id AS b
+        |    FROM b x JOIN b y ON x.bk = y.bk AND x.vec_id < y.vec_id
+        |  UNION
+        |  SELECT h1.vec_id AS a, h2.vec_id AS b
+        |    FROM hot h1 JOIN hot h2 ON h1.bk = h2.bk AND h2.rn = h1.rn + 1),
         |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
         |SELECT cand.a AS vec_a, cand.b AS vec_b,
         |  round(list_dot_product(ea.v, eb.v) /

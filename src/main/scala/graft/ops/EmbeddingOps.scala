@@ -506,6 +506,46 @@ object EmbeddingOps {
       .orderBy("q_id", "rank")
   }
 
+  /** IVF-bucketed near-duplicate pairs — the coarse-quantizer analog of
+    * `lshCosinePairs` and the third embedding-pair generator (SemDeDup,
+    * Abbas et al. 2023: k-means cells, pairwise cosine INSIDE each cell
+    * only). Assignment is map-only under broadcast centroids; candidates
+    * are the intra-cell self-join of bare (vec_id, cell) rows through the
+    * SAME skew-guarded [[lshCandidates]] machinery (occupancy > `maxBucket`
+    * cells collapse to the sorted-adjacent chain, logged), and survivors
+    * are verified by exact cosine with the vectors joined back late — ids
+    * only through the candidate shuffle.
+    *
+    * Approximation contract: output ⊆ `cosinePairs(emb, minCos)` by
+    * construction (every candidate passes the exact verify); pairs whose
+    * members quantize into DIFFERENT cells are the misses, so recall is
+    * governed by `nCells` vs cluster granularity (measured against the
+    * exact baseline in OpsSpec, and the assignment table is dumped oracle
+    * evidence — q44). `nAssign` is the recall lever: each vector lands in
+    * its top-`nAssign` cells (the index-side analog of `nprobe` — boundary
+    * pairs split by the quantizer still meet in the runner-up cell) at
+    * `nAssign`× candidate volume. Scale shape: at 10^12 rows pick
+    * nCells ≈ N·nAssign/B for a target cell occupancy B — the self-join is
+    * then cell-partitioned with B² bounded work per cell and no
+    * corpus-wide quadratic term; the centroid table (nCells × dims floats)
+    * stays a broadcast dim. */
+  def ivfCosinePairs(emb: DataFrame, minCos: Double, nCells: Int = 16,
+      iters: Int = 20, maxBucket: Int = 1000, nAssign: Int = 1): DataFrame =
+    graft.core.Checkpoints.scoped(emb.sparkSession) {
+      val cents = ivfCentroids(emb, nCells, iters)
+      val cells = graft.core.Checkpoints.ckpt(ivfCells(emb, cents, nAssign))
+      verifyCosPairs(lshCandidates(cells, maxBucket), emb, minCos)
+    }
+
+  /** (vec_id, bk) cell-bucket table for [[ivfCosinePairs]] — the
+    * top-`nAssign` cells per vector ([[ivfProbes]] applied to the index
+    * side) in the band-table shape `lshCandidates` consumes (and q44
+    * dumps). */
+  def ivfCells(emb: DataFrame, cents: Array[Array[Double]],
+      nAssign: Int = 1): DataFrame =
+    ivfProbes(fanOut(emb), cents, nAssign)
+      .select(col("q_id").as("vec_id"), col("cell").cast("long").as("bk"))
+
   /** Exact-cosine verification of a bare (a, b) id pair set: join the
     * embeddings back once per side, keep pairs with cos >= `minCos`. */
   def verifyCosPairs(pairs: DataFrame, emb: DataFrame,

@@ -106,6 +106,37 @@ class OpsSpec extends AnyFunSuite {
     assert(again === multi)
   }
 
+  test("IVF cosine pairs: subset of exact, single-cell config IS exact, recall floor") {
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("vec_a", "vec_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(EmbeddingOps.cosinePairs(emb, 0.4))
+    assert(exact.nonEmpty, "fixture should contain cos>=0.4 pairs")
+    // nCells=1 puts every vector in one cell: candidates = all pairs, so
+    // the operator must reproduce the exact baseline bit-for-bit
+    val one = pairs(EmbeddingOps.ivfCosinePairs(emb, 0.4, nCells = 1,
+      maxBucket = 1000000))
+    assert(one === exact)
+    // single-assignment misses are exactly the pairs the quantizer splits
+    // across cells — at the mid threshold 0.4 on this wide-spectrum
+    // fixture that is most of them (measured 26/66 at 8 cells), which is
+    // WHY nAssign exists; multi-assignment buys them back (54/66 at
+    // nAssign=2, 64/66 at 3 — deterministic, not flaky)
+    val single = pairs(EmbeddingOps.ivfCosinePairs(emb, 0.4, nCells = 8))
+    val ivf = pairs(EmbeddingOps.ivfCosinePairs(emb, 0.4, nCells = 8,
+      nAssign = 3))
+    assert(single.subsetOf(ivf),
+      "nAssign=1 cells are every vector's top cell, so its pairs survive")
+    assert(ivf.subsetOf(exact))
+    println(s"IVF pairs @8 cells: nAssign=1 ${single.size}/${exact.size}, " +
+      s"nAssign=3 ${ivf.size}/${exact.size}")
+    assert(ivf.size.toDouble / exact.size >= 0.9,
+      s"IVF recall ${ivf.size}/${exact.size}")
+    // determinism (no-RNG k-means + deterministic sample)
+    assert(pairs(EmbeddingOps.ivfCosinePairs(emb, 0.4, nCells = 8,
+      nAssign = 3)) === ivf)
+  }
+
   test("LSH skew guard: a mega-bucket collapses to a verified chain; isolated pairs survive") {
     import spark.implicits._
     // 40 identical vectors share EVERY band key — 40²×bands join rows with
