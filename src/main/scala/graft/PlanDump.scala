@@ -36,6 +36,10 @@ object PlanDump {
     // dim, the keep predicate inside the scan's codegen stage, no shuffle
     // before the per-source aggregate
     dump("q43_domain_mix")
+    // IVF semantic pairs: cell assignment map-only under broadcast
+    // centroids; the intra-cell self-join must ship only (bk, vec_id)
+    // rows, vectors joined back late for the codegen-cosine verify
+    dump("q44_ivf_pairs")
     // image pipeline stages
     println("\n===== image signatures -> bands -> candidates =====")
     val (images, _) = graft.images.SyntheticCorpus.generate(spark, 5, 2, 5)
