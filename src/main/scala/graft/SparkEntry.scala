@@ -625,6 +625,48 @@ object SparkEntry {
         .select(col("source"), col("n_total"),
           coalesce(col("n_kept"), lit(0L)).as("n_kept"))
         .orderBy("source")
+    }),
+    // ---- dataset assembly downstream of dedup (ops/MixOps) ----
+    "q45_cluster_split" -> ((s, _) => {
+      // leakage-free train/val/test split: whole near-dup clusters are
+      // assigned to one split via an engine-portable positional hash of the
+      // cluster label, so no dup pair straddles a boundary. DuckDB
+      // re-derives the closure (q23's recursive CTE), the hash, and the
+      // bucket→split mapping end-to-end.
+      val cfg = DedupConfig()
+      val (images, _) = OracleDump.sharedCorpus(s, 40, 3, 30)
+      val sigs = Dedup.signatures(images, cfg).localCheckpoint()
+      val cands = Dedup.candidates(Dedup.bands(sigs, cfg), cfg).localCheckpoint()
+      val pairs = OracleDump.dump("q45_pairs",
+        Dedup.verified(cands, sigs, cfg)
+          .union(Dedup.substringPairs(sigs, cfg)).distinct())
+      OracleDump.dump("q45_ids", images.select("image_id"))
+      graft.ops.MixOps.clusterSplit(Dedup.clusters(images, pairs))
+        .orderBy("image_id")
+    }),
+    "q46_stratified_sample" -> ((s, dir) => {
+      // exact-quota per-source sample: the 10 docs per source with the
+      // smallest portable-LCG hash values — the quota companion of q43's
+      // rate-based keep
+      graft.ops.MixOps.stratifiedSample(rd(s, dir, "documents"), k = 10)
+        .orderBy("source", "rk")
+    }),
+    "q47_dedup_report" -> ((s, _) => {
+      // dedup savings report over the image pipeline's clusters: cluster-
+      // size histogram with image + removed-bytes accounting. DuckDB
+      // re-derives the closure, the canonical-member convention, and both
+      // aggregation layers from the dumped pair/size evidence.
+      val cfg = DedupConfig()
+      val (images, _) = OracleDump.sharedCorpus(s, 40, 3, 30)
+      val sigs = Dedup.signatures(images, cfg).localCheckpoint()
+      val cands = Dedup.candidates(Dedup.bands(sigs, cfg), cfg).localCheckpoint()
+      val pairs = OracleDump.dump("q47_pairs",
+        Dedup.verified(cands, sigs, cfg)
+          .union(Dedup.substringPairs(sigs, cfg)).distinct())
+      val sizes = OracleDump.dump("q47_sizes",
+        images.select(col("image_id"),
+          length(col("bytes")).cast("long").as("n_bytes")))
+      graft.ops.MixOps.dedupReport(Dedup.clusters(images, pairs), sizes)
     })
   )
 
@@ -1390,6 +1432,57 @@ object SparkEntry {
         |SELECT d.source, count(*) AS n_total,
         |  coalesce(any_value(k.n_kept), 0) AS n_kept
         |FROM documents d LEFT JOIN k USING (source)
-        |GROUP BY d.source ORDER BY d.source""".stripMargin
+        |GROUP BY d.source ORDER BY d.source""".stripMargin,
+    "q45_cluster_split" ->
+      s"""WITH RECURSIVE pairs AS (
+        |  SELECT a, b FROM read_parquet('${OracleDump.glob("q45_pairs")}')),
+        |sym AS (SELECT a, b FROM pairs UNION SELECT b, a FROM pairs),
+        |reach(src, dst) AS (
+        |  SELECT a, b FROM sym
+        |  UNION
+        |  SELECT r.src, s.b FROM reach r JOIN sym s ON r.dst = s.a),
+        |cl AS (SELECT v.image_id,
+        |    least(v.image_id, coalesce(min(r.dst), v.image_id)) AS cluster_id
+        |  FROM read_parquet('${OracleDump.glob("q45_ids")}') v
+        |  LEFT JOIN reach r ON r.src = v.image_id
+        |  GROUP BY v.image_id),
+        |h AS (SELECT image_id, cluster_id,
+        |    CAST(list_sum([unicode(cluster_id[i]) * i
+        |      FOR i IN range(1, length(cluster_id)+1)]) % 1000003 AS BIGINT)
+        |      % 10 AS bucket
+        |  FROM cl)
+        |SELECT image_id, cluster_id,
+        |  CASE WHEN bucket < 8 THEN 'train' WHEN bucket < 9 THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM h ORDER BY image_id""".stripMargin,
+    "q46_stratified_sample" ->
+      """SELECT doc_id, source, rk FROM (
+        |  SELECT doc_id, source, CAST(row_number() OVER (
+        |    PARTITION BY source
+        |    ORDER BY (doc_id * 40503 + 9973) % 1000003 ASC, doc_id ASC)
+        |    AS BIGINT) AS rk
+        |  FROM documents)
+        |WHERE rk <= 10 ORDER BY source, rk""".stripMargin,
+    "q47_dedup_report" ->
+      s"""WITH RECURSIVE pairs AS (
+        |  SELECT a, b FROM read_parquet('${OracleDump.glob("q47_pairs")}')),
+        |sym AS (SELECT a, b FROM pairs UNION SELECT b, a FROM pairs),
+        |reach(src, dst) AS (
+        |  SELECT a, b FROM sym
+        |  UNION
+        |  SELECT r.src, s.b FROM reach r JOIN sym s ON r.dst = s.a),
+        |sz AS (SELECT * FROM read_parquet('${OracleDump.glob("q47_sizes")}')),
+        |cl AS (SELECT v.image_id, v.n_bytes,
+        |    least(v.image_id, coalesce(min(r.dst), v.image_id)) AS cluster_id
+        |  FROM sz v LEFT JOIN reach r ON r.src = v.image_id
+        |  GROUP BY v.image_id, v.n_bytes),
+        |per AS (SELECT cluster_id, count(*) AS sz, sum(n_bytes) AS total_bytes,
+        |    sum(CASE WHEN image_id = cluster_id THEN n_bytes ELSE 0 END)
+        |      AS kept_bytes
+        |  FROM cl GROUP BY cluster_id)
+        |SELECT sz, count(*) AS n_clusters,
+        |  CAST(sum(sz) AS BIGINT) AS n_images,
+        |  CAST(sum(total_bytes - kept_bytes) AS BIGINT) AS bytes_removed
+        |FROM per GROUP BY sz ORDER BY sz""".stripMargin
   )
 }
