@@ -667,6 +667,36 @@ object SparkEntry {
         images.select(col("image_id"),
           length(col("bytes")).cast("long").as("n_bytes")))
       graft.ops.MixOps.dedupReport(Dedup.clusters(images, pairs), sizes)
+    }),
+    "q48_corpus_build" -> ((s, _) => {
+      // the full corpus-build composite (CorpusBuildJob's compute chain, no
+      // stage I/O): near-dup clustering → caption hygiene (token floor 12 +
+      // dup-5-gram cap 0.75) → decontamination against the 2 smallest-id
+      // captions as a stand-in benchmark set (derivable relationally, so
+      // the oracle needs no second input table) → canonical election among
+      // survivors → leakage-free split. DuckDB re-derives EVERYTHING from
+      // the dumped pair + caption evidence: closure, tokenizer, repetition
+      // fraction, gram-overlap contamination, min-survivor election, and
+      // the split hash.
+      val cfg = DedupConfig()
+      val (images, _) = OracleDump.sharedCorpus(s, 40, 3, 30)
+      val sigs = Dedup.signatures(images, cfg).localCheckpoint()
+      val cands = Dedup.candidates(Dedup.bands(sigs, cfg), cfg).localCheckpoint()
+      val pairs = OracleDump.dump("q48_pairs",
+        Dedup.verified(cands, sigs, cfg)
+          .union(Dedup.substringPairs(sigs, cfg)).distinct())
+      val caps = OracleDump.dump("q48_caps",
+        images.select(col("image_id").as("doc_id"),
+          col("caption").as("text")))
+      val hyg = graft.CorpusBuildJob.hygiene(caps, minTokens = 12,
+        maxDup5 = 0.75)
+      val bench = caps.orderBy("doc_id").limit(2)
+      val cont = TextOps.decontaminate(caps, bench, n = 5)
+      graft.CorpusBuildJob.assemble(Dedup.clusters(images, pairs),
+        hyg.filter(col("keep")).select(col("doc_id").as("image_id")),
+        cont.select(col("doc_id").as("image_id")),
+        nBuckets = 10, trainUpTo = 8, valUpTo = 9)
+        .orderBy("image_id")
     })
   )
 
@@ -1483,6 +1513,51 @@ object SparkEntry {
         |SELECT sz, count(*) AS n_clusters,
         |  CAST(sum(sz) AS BIGINT) AS n_images,
         |  CAST(sum(total_bytes - kept_bytes) AS BIGINT) AS bytes_removed
-        |FROM per GROUP BY sz ORDER BY sz""".stripMargin
+        |FROM per GROUP BY sz ORDER BY sz""".stripMargin,
+    "q48_corpus_build" ->
+      s"""WITH RECURSIVE pairs AS (
+        |  SELECT a, b FROM read_parquet('${OracleDump.glob("q48_pairs")}')),
+        |sym AS (SELECT a, b FROM pairs UNION SELECT b, a FROM pairs),
+        |reach(src, dst) AS (
+        |  SELECT a, b FROM sym
+        |  UNION
+        |  SELECT r.src, s.b FROM reach r JOIN sym s ON r.dst = s.a),
+        |caps AS (SELECT doc_id, text
+        |  FROM read_parquet('${OracleDump.glob("q48_caps")}')),
+        |cl AS (SELECT v.doc_id AS image_id,
+        |    least(v.doc_id, coalesce(min(r.dst), v.doc_id)) AS cluster_id
+        |  FROM caps v LEFT JOIN reach r ON r.src = v.doc_id
+        |  GROUP BY v.doc_id),
+        |tok AS (SELECT doc_id,
+        |   list_filter(regexp_split_to_array(text,'\\s+'), x -> x <> '') AS t
+        |  FROM caps),
+        |g5 AS (SELECT doc_id,
+        |   unnest([array_to_string(t[i:i+4], ' ') FOR i IN range(1, len(t)-3)]) AS g
+        |  FROM tok WHERE len(t) >= 5),
+        |c5 AS (SELECT doc_id, g, count(*) AS c FROM g5 GROUP BY 1, 2),
+        |d5 AS (SELECT doc_id, sum(c) AS n5,
+        |   sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup5 FROM c5 GROUP BY 1),
+        |hyg AS (SELECT tok.doc_id FROM tok LEFT JOIN d5 USING (doc_id)
+        |  WHERE len(t) >= 12
+        |    AND (n5 IS NULL OR round(CAST(dup5 AS DOUBLE) / n5, 4) <= 0.75)),
+        |gb AS (SELECT doc_id, unnest(list_distinct(
+        |   [array_to_string(t[i:i+4], ' ') FOR i IN range(1, len(t)-3)])) AS gram
+        |  FROM tok WHERE len(t) >= 5),
+        |be AS (SELECT DISTINCT gram FROM gb
+        |  WHERE doc_id IN (SELECT doc_id FROM caps ORDER BY doc_id LIMIT 2)),
+        |cont AS (SELECT DISTINCT gb.doc_id FROM gb JOIN be USING (gram)),
+        |canon AS (SELECT cluster_id, min(image_id) AS image_id FROM cl
+        |  WHERE image_id IN (SELECT doc_id FROM hyg)
+        |    AND image_id NOT IN (SELECT doc_id FROM cont)
+        |  GROUP BY cluster_id),
+        |h AS (SELECT image_id, cluster_id,
+        |    CAST(list_sum([unicode(cluster_id[i]) * i
+        |      FOR i IN range(1, length(cluster_id)+1)]) % 1000003 AS BIGINT)
+        |      % 10 AS bucket
+        |  FROM canon)
+        |SELECT image_id, cluster_id,
+        |  CASE WHEN bucket < 8 THEN 'train' WHEN bucket < 9 THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM h ORDER BY image_id""".stripMargin
   )
 }
