@@ -40,6 +40,17 @@ object PlanDump {
     // centroids; the intra-cell self-join must ship only (bk, vec_id)
     // rows, vectors joined back late for the codegen-cosine verify
     dump("q44_ivf_pairs")
+    // cluster-aware split: label assignment must be map-only (positional
+    // hash of the label string — no rank/window over labels), the pair
+    // log joined once, no vector or bytes columns anywhere
+    dump("q45_cluster_split")
+    // stratified quota sample: ONE shuffle on the stratum key, the
+    // per-stratum top-k window inside that exchange, quota dim broadcast
+    dump("q46_stratified_sample")
+    // end-to-end corpus build: decontamination grams broadcast, caption
+    // hygiene map-only, all joins on ids — the composed plan must not
+    // re-shuffle the pair log between stages
+    dump("q48_corpus_build")
     // image pipeline stages
     println("\n===== image signatures -> bands -> candidates =====")
     val (images, _) = graft.images.SyntheticCorpus.generate(spark, 5, 2, 5)
