@@ -51,6 +51,9 @@ object PlanDump {
     // hygiene map-only, all joins on ids — the composed plan must not
     // re-shuffle the pair log between stages
     dump("q48_corpus_build")
+    // modality audit: the pair log joins captions on ids (no bytes, no
+    // vectors); the token-set Jaccard is arithmetic inside the projection
+    dump("q49_caption_rewrite")
     // image pipeline stages
     println("\n===== image signatures -> bands -> candidates =====")
     val (images, _) = graft.images.SyntheticCorpus.generate(spark, 5, 2, 5)

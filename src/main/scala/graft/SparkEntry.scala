@@ -697,6 +697,52 @@ object SparkEntry {
         cont.select(col("doc_id").as("image_id")),
         nBuckets = 10, trainUpTo = 8, valUpTo = 9)
         .orderBy("image_id")
+    }),
+    "q49_caption_rewrite" -> ((s, _) => {
+      // cross-modality disagreement, direction 1: image-near-dup pairs
+      // (signature evidence — the weighted fold makes the pixel class
+      // dominate, so a caption edit can't hide an image dup) whose
+      // normalized captions DIFFER, ranked by caption token-set Jaccard.
+      // DuckDB re-derives the caption join, the inequality filter, and the
+      // token-set Jaccard from the dumped pair log + normalized captions.
+      // variants = 5 so the generator's 4-case variant cycle reaches the
+      // caption-paraphrase case (v=4) — the (40,3,·) corpus has none.
+      val cfg = DedupConfig()
+      val (images, _) = OracleDump.sharedCorpus(s, 30, 5, 20)
+      val sigs = Dedup.signatures(images, cfg).localCheckpoint()
+      val cands = Dedup.candidates(Dedup.bands(sigs, cfg), cfg).localCheckpoint()
+      val pairs = OracleDump.dump("q49_pairs", Dedup.verifiedHamming(cands, cfg))
+      val normUdf = udf((c: String) =>
+        graft.featurize.ImageFeaturizer.normalizeCaption(c))
+      val caps = OracleDump.dump("q49_caps",
+        images.select(col("image_id"), normUdf(col("caption")).as("caption_norm")))
+      graft.pipeline.ModalityAudit.captionRewrites(pairs, caps).orderBy("a", "b")
+    }),
+    "q50_caption_spam" -> ((s, _) => {
+      // cross-modality disagreement, direction 2: one normalized caption
+      // spanning >= 2 image near-dup CLUSTERS — boilerplate/alt-text spam
+      // (re-encodes of one image sharing a caption are NOT spam, which is
+      // why the threshold is on clusters, not rows). Spam rows are planted
+      // by stamping a fixed caption onto a deterministic subset of images
+      // from different groups. The oracle re-derives the closure, the
+      // caption grouping, and both thresholds from the dumped evidence.
+      val cfg = DedupConfig()
+      val (images, _) = OracleDump.sharedCorpus(s, 40, 3, 30)
+      val spam = images.filter(pmod(crc32(col("image_id")), lit(7)) === 0)
+        .withColumn("image_id", concat(col("image_id"), lit("~s")))
+        .withColumn("caption", lit("Stock photo — buy now, best price!"))
+      val all = images.union(spam).localCheckpoint()
+      val sigs = Dedup.signatures(all, cfg).localCheckpoint()
+      val cands = Dedup.candidates(Dedup.bands(sigs, cfg), cfg).localCheckpoint()
+      val pairs = OracleDump.dump("q50_pairs", Dedup.verifiedHamming(cands, cfg))
+      OracleDump.dump("q50_ids", all.select("image_id"))
+      val normUdf = udf((c: String) =>
+        graft.featurize.ImageFeaturizer.normalizeCaption(c))
+      val caps = OracleDump.dump("q50_caps",
+        all.select(col("image_id"), normUdf(col("caption")).as("caption_norm")))
+      val clusters = Dedup.clusters(all.select("image_id"), pairs)
+      graft.pipeline.ModalityAudit.boilerplateCaptions(clusters, caps)
+        .orderBy("caption_norm")
     })
   )
 
@@ -1558,6 +1604,40 @@ object SparkEntry {
         |SELECT image_id, cluster_id,
         |  CASE WHEN bucket < 8 THEN 'train' WHEN bucket < 9 THEN 'val'
         |       ELSE 'test' END AS split
-        |FROM h ORDER BY image_id""".stripMargin
+        |FROM h ORDER BY image_id""".stripMargin,
+    "q49_caption_rewrite" ->
+      s"""WITH p AS (SELECT a, b FROM read_parquet('${OracleDump.glob("q49_pairs")}')),
+        |t AS (SELECT image_id, caption_norm,
+        |    list_distinct(list_filter(string_split(caption_norm, ' '),
+        |      x -> x <> '')) AS toks
+        |  FROM read_parquet('${OracleDump.glob("q49_caps")}'))
+        |SELECT p.a, p.b,
+        |  CAST(len(list_intersect(ta.toks, tb.toks)) AS DOUBLE)
+        |    / greatest(len(list_distinct(list_concat(ta.toks, tb.toks))), 1)
+        |    AS cap_jaccard
+        |FROM p JOIN t ta ON ta.image_id = p.a JOIN t tb ON tb.image_id = p.b
+        |WHERE ta.caption_norm <> tb.caption_norm
+        |ORDER BY a, b""".stripMargin,
+    "q50_caption_spam" ->
+      s"""WITH RECURSIVE pairs AS (
+        |  SELECT a, b FROM read_parquet('${OracleDump.glob("q50_pairs")}')),
+        |sym AS (SELECT a, b FROM pairs UNION SELECT b, a FROM pairs),
+        |reach(src, dst) AS (
+        |  SELECT a, b FROM sym
+        |  UNION
+        |  SELECT r.src, s.b FROM reach r JOIN sym s ON r.dst = s.a),
+        |cl AS (SELECT v.image_id,
+        |    least(v.image_id, coalesce(min(r.dst), v.image_id)) AS cluster_id
+        |  FROM read_parquet('${OracleDump.glob("q50_ids")}') v
+        |  LEFT JOIN reach r ON r.src = v.image_id
+        |  GROUP BY v.image_id),
+        |c AS (SELECT image_id, caption_norm
+        |  FROM read_parquet('${OracleDump.glob("q50_caps")}')),
+        |g AS (SELECT caption_norm, count(*) AS n_images,
+        |    count(DISTINCT cluster_id) AS n_clusters
+        |  FROM cl JOIN c USING (image_id) GROUP BY caption_norm)
+        |SELECT caption_norm, n_images, n_clusters FROM g
+        |WHERE n_images >= 2 AND n_clusters >= 2
+        |ORDER BY caption_norm""".stripMargin
   )
 }

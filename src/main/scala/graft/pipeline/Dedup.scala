@@ -389,6 +389,15 @@ object Dedup {
     byHamming.union(byJaccard)
   }
 
+  /** The Hamming-accepted (signature-evidence) subset of [[verified]] —
+    * the image-dominated tier, without the caption-MinHash accept path.
+    * The modality audits ([[ModalityAudit]]) cluster on THIS evidence:
+    * the Jaccard path accepts on caption similarity alone, which would
+    * merge the very image-vs-caption disagreements the audits measure
+    * (spec-asserted in ModalityAuditSpec). */
+  def verifiedHamming(cands: DataFrame, cfg: DedupConfig): DataFrame =
+    cands.filter(col("dist") <= cfg.maxHamming).select(col("a"), col("b"))
+
   /** Stage 5 — exact substring-duplicate captions (north-rule must-link). */
   def substringPairs(sigs: DataFrame, cfg: DedupConfig): DataFrame =
     SubstringDup.containedPairs(sigs.sparkSession,
