@@ -611,6 +611,18 @@ object SparkEntry {
         docs.filter(pmod(col("doc_id"), lit(10L)) =!= 0),
         docs.filter(pmod(col("doc_id"), lit(10L)) === 0))
     }),
+    "q51_fuzzy_decontaminate" -> ((s, dir) => {
+      // near-match decontamination (MinHash-LSH train × bench, exact-
+      // Jaccard verify): q41's exact-13-gram rule misses re-formatted /
+      // token-edited eval docs; this catches them at word-3-gram Jaccard
+      // >= 0.5. Same split as q41 (every 10th doc = benchmark). The b=16/
+      // r=4 banding misses a j>=0.5 pair with probability < 1e-15, so
+      // DuckDB's brute-force cross Jaccard is the value oracle end-to-end.
+      val docs = rd(s, dir, "documents")
+      TextOps.fuzzyDecontaminate(
+        docs.filter(pmod(col("doc_id"), lit(10L)) =!= 0),
+        docs.filter(pmod(col("doc_id"), lit(10L)) === 0), 0.5)
+    }),
     "q42_repetition" -> ((s, dir) =>
       TextOps.repetitionScore(rd(s, dir, "documents"))),
     "q43_domain_mix" -> ((s, dir) => {
@@ -1053,6 +1065,21 @@ object SparkEntry {
         |WHERE round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
         |   (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 4) >= 0.5
         |ORDER BY doc_a, doc_b""".stripMargin,
+    "q51_fuzzy_decontaminate" ->
+      """WITH s AS (SELECT doc_id, list_distinct(
+        |   [t[i] || ' ' || t[i+1] || ' ' || t[i+2] FOR i IN range(1, len(t)-1)]) AS sh
+        |  FROM (SELECT doc_id,
+        |    list_filter(regexp_split_to_array(text,'\s+'), x -> x <> '') AS t
+        |    FROM documents)),
+        |tr AS (SELECT * FROM s WHERE doc_id % 10 <> 0),
+        |be AS (SELECT * FROM s WHERE doc_id % 10 = 0)
+        |SELECT tr.doc_id AS doc_id, be.doc_id AS bench_id,
+        |  round(CAST(len(list_intersect(tr.sh, be.sh)) AS DOUBLE) /
+        |   (len(tr.sh) + len(be.sh) - len(list_intersect(tr.sh, be.sh))), 4) AS jacc
+        |FROM tr JOIN be ON
+        |  round(CAST(len(list_intersect(tr.sh, be.sh)) AS DOUBLE) /
+        |   (len(tr.sh) + len(be.sh) - len(list_intersect(tr.sh, be.sh))), 4) >= 0.5
+        |ORDER BY doc_id, bench_id""".stripMargin,
     "q19_knn_brute" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |scored AS (SELECT q.vec_id AS q_id, n.vec_id AS n_id,

@@ -50,36 +50,46 @@ object DedupOps {
       minhashLshDedupImpl(docs, minJaccard, k, bands, rows)
     }
 
-  private def minhashLshDedupImpl(docs: DataFrame, minJaccard: Double,
-      k: Int, bands: Int, rows: Int): DataFrame = {
-    val spark = docs.sparkSession
+  /** (doc_id, sh, sketch) over docs with >= 3 tokens — the shared MinHash
+    * front of every consumer (intra-corpus dedup here, cross-corpus fuzzy
+    * decontamination in [[TextOps.fuzzyDecontaminate]]).
+    *
+    * The < 3-token filter runs BEFORE the UDFs: docs with < 3 tokens have
+    * NO shingles — their sketches are identical all-MaxValue vectors, so
+    * banding them would (a) collide every short doc with every other
+    * (m short docs emit bands*m^2 join rows, the exact hot-bucket blowup
+    * the n-gram path guards against) and (b) verify unrelated short docs
+    * at Jaccard 1.0 between EMPTY sets. No shingles = no lexical evidence
+    * = no candidates (the DuckDB oracles agree: their Jaccard is NULL on
+    * empty unions, so such pairs never pass the threshold either). NULL
+    * text tokenizes to NULL, which the filter also drops — before the
+    * UDFs, where it would NPE inside sliding(). */
+  private[ops] def shingleSketch(docs: DataFrame, k: Int): DataFrame = {
     val shingleUdf = udf((toks: Seq[String]) =>
       toks.sliding(3).filter(_.size == 3).map(_.mkString(" ")).toArray.distinct
         .map(graft.core.HashFamily.stringHash))
     val sketchUdf = udf((sh: Array[Long]) => MinHash.sketch(sh, k))
+    docs.select(col("doc_id"), TextOps.tokensCol(col("text")).as("toks"))
+      .filter(size(col("toks")) >= 3)
+      .withColumn("sh", shingleUdf(col("toks")))
+      .withColumn("sketch", sketchUdf(col("sh")))
+      .drop("toks")
+  }
+
+  /** (doc_id, band_id, band_key) band explode of a [[shingleSketch]] frame. */
+  private[ops] def sketchBands(ws: DataFrame, bands: Int, rows: Int): DataFrame = {
     val bandUdf = udf((sk: Array[Long]) =>
       MinHash.bandKeys(sk, bands, rows).zipWithIndex.map {
         case (key, b) => graft.pipeline.BandKey(b, key)
       })
-    val withSketch0 = docs
-      .select(col("doc_id"), TextOps.tokensCol(col("text")).as("toks"))
-      // BEFORE the UDFs: docs with < 3 tokens have NO shingles — their
-      // sketches are identical all-MaxValue vectors, so banding them would
-      // (a) collide every short doc with every other (m short docs emit
-      // bands*m^2 join rows, the exact hot-bucket blowup the n-gram path
-      // guards against) and (b) verify unrelated short docs at Jaccard 1.0
-      // between EMPTY sets. No shingles = no lexical evidence = no
-      // candidates (the DuckDB oracle agrees: its Jaccard is NULL on empty
-      // unions, so such pairs never pass its threshold either). NULL text
-      // tokenizes to NULL, which this filter also drops — before the UDFs,
-      // where it would NPE inside sliding().
-      .filter(size(col("toks")) >= 3)
-      .withColumn("sh", shingleUdf(col("toks")))
-      .withColumn("sketch", sketchUdf(col("sh")))
-    val withSketchC = graft.core.Checkpoints.ckpt(withSketch0)
-    val banded = withSketchC
-      .select(col("doc_id"), explode(bandUdf(col("sketch"))).as("bk"))
+    ws.select(col("doc_id"), explode(bandUdf(col("sketch"))).as("bk"))
       .select(col("doc_id"), col("bk.band_id"), col("bk.band_key"))
+  }
+
+  private def minhashLshDedupImpl(docs: DataFrame, minJaccard: Double,
+      k: Int, bands: Int, rows: Int): DataFrame = {
+    val withSketchC = graft.core.Checkpoints.ckpt(shingleSketch(docs, k))
+    val banded = sketchBands(withSketchC, bands, rows)
     val cands = banded.select(col("band_id"), col("band_key"), col("doc_id").as("a"))
       .join(banded.select(col("band_id"), col("band_key"), col("doc_id").as("b")),
         Seq("band_id", "band_key"))

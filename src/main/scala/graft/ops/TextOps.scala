@@ -221,6 +221,51 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Near-match test-set decontamination — the fuzzy sibling of
+    * [[decontaminate]]: an exact shared-13-gram rule misses a benchmark doc
+    * that was re-formatted, lightly paraphrased, or token-edited on its way
+    * into the crawl (every 13-gram is broken by one edit per 12 tokens),
+    * while its word-3-gram Jaccard against the training doc stays high. The
+    * published fuzzy recipe is MinHash-LSH between the training corpus and
+    * the eval benchmarks with an exact-Jaccard verify on the candidates
+    * (the cross-corpus form of `minhashLshDedup`). One row per
+    * (training doc, benchmark doc) pair with Jaccard >= `minJaccard`.
+    *
+    * Scale shape: the benchmark side is small by nature (MBs of eval sets),
+    * so BOTH its band table and its shingle sets are BROADCAST — the
+    * training side streams scan → sketch → band explode →
+    * broadcast-hash-join with no training-side shuffle at all; the only
+    * shuffled rows are matched candidates (bounded by contamination
+    * volume). At b=16/r=4 a pair at Jaccard >= 0.5 is missed with
+    * probability < 1e-15, which is what makes DuckDB's brute-force
+    * train × bench exact Jaccard a value oracle for the whole operator
+    * (q17's argument, cross-corpus). */
+  def fuzzyDecontaminate(train: DataFrame, bench: DataFrame,
+      minJaccard: Double = 0.5, k: Int = 64, bands: Int = 16,
+      rows: Int = 4): DataFrame =
+    graft.core.Checkpoints.scoped(train.sparkSession) {
+      // train sketches feed the band explode AND the verify join-back;
+      // bench sketches feed the (broadcast) band table AND the verify —
+      // each materialized once
+      val ts = graft.core.Checkpoints.ckpt(DedupOps.shingleSketch(train, k))
+      val bs = graft.core.Checkpoints.ckpt(DedupOps.shingleSketch(bench, k))
+      val tb = DedupOps.sketchBands(ts, bands, rows)
+      val bb = DedupOps.sketchBands(bs, bands, rows)
+        .select(col("doc_id").as("bench_id"), col("band_id"), col("band_key"))
+      val cands = tb.join(broadcast(bb), Seq("band_id", "band_key"))
+        .select("doc_id", "bench_id").distinct()
+      val jacc = udf((x: Seq[Long], y: Seq[Long]) =>
+        graft.core.MinHash.exactJaccard(x.toSet, y.toSet))
+      cands
+        .join(ts.select(col("doc_id"), col("sh")), "doc_id")
+        .join(broadcast(bs.select(col("doc_id").as("bench_id"),
+          col("sh").as("bench_sh"))), "bench_id")
+        .withColumn("jacc", round(jacc(col("sh"), col("bench_sh")), 4))
+        .filter(col("jacc") >= minJaccard)
+        .select(col("doc_id"), col("bench_id"), col("jacc"))
+        .orderBy("doc_id", "bench_id")
+    }
+
   /** Per-doc intra-document repetition signals (the Gopher quality-filter
     * family, Rae et al. 2021 §A1.1): the most frequent word 2-gram and the
     * fraction of text characters its occurrences cover (count × gram length

@@ -386,6 +386,60 @@ class OpsSpec extends AnyFunSuite {
     assert(got.toSeq === Seq((1L, 1L, 2L), (2L, 1L, 2L)))
   }
 
+  test("fuzzy decontaminate equals brute-force cross jaccard on the fixture") {
+    val train = docs.filter(pmod(col("doc_id"), lit(10L)) =!= 0)
+    val bench = docs.filter(pmod(col("doc_id"), lit(10L)) === 0)
+    val got = TextOps.fuzzyDecontaminate(train, bench, 0.5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    def sh(t: String) = t.split("\\s+").filter(_.nonEmpty).sliding(3)
+      .filter(_.length == 3).map(_.mkString(" ")).toSet
+    def r4(x: Double) =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val tr = train.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> sh(r.getString(1)))
+    val be = bench.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> sh(r.getString(1)))
+    val brute = (for {
+      (a, sa) <- tr
+      (b, sb) <- be
+      inter = sa.intersect(sb).size
+      uni = sa.size + sb.size - inter
+      if uni > 0 && r4(inter.toDouble / uni) >= 0.5
+    } yield (a, b, r4(inter.toDouble / uni))).toSet
+    assert(got === brute, s"lsh=${got.size} brute=${brute.size}")
+    assert(brute.nonEmpty, "fixture should contain cross-split near-dups")
+  }
+
+  test("fuzzy decontaminate catches a token edit the exact 13-gram rule misses") {
+    import spark.implicits._
+    // 25 tokens, one edit at position 13: EVERY shared 13-gram window
+    // contains the edit (window starts 1..13 all cover position 13), so
+    // the exact-overlap rule sees nothing — but 20 of the 26 distinct
+    // word-3-grams still agree (jaccard 0.7692), the re-formatted-eval-doc
+    // case fuzzy decontamination exists for.
+    val orig = (1 to 25).map(i => s"w$i").mkString(" ")
+    val edited = (1 to 25).map(i => if (i == 13) "EDIT" else s"w$i").mkString(" ")
+    val train = Seq(1L -> edited).toDF("doc_id", "text")
+    val bench = Seq(100L -> orig).toDF("doc_id", "text")
+    assert(TextOps.decontaminate(train, bench).count() === 0,
+      "exact rule should miss the edited doc")
+    val fz = TextOps.fuzzyDecontaminate(train, bench, 0.5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(fz.toSeq === Seq((1L, 100L, 0.7692)))
+  }
+
+  test("fuzzy decontaminate excludes short docs (no shingles, no evidence)") {
+    import spark.implicits._
+    val train = Seq(1L -> "a b", 2L -> "x y z x y z").toDF("doc_id", "text")
+    val bench = Seq(100L -> "a b", 101L -> "x y z x y z").toDF("doc_id", "text")
+    val fz = TextOps.fuzzyDecontaminate(train, bench, 0.5).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    // the 2-token pair is identical text but has NO 3-gram evidence ->
+    // excluded (the exact front tier's job, not this op's); the 6-token
+    // pair matches at jaccard 1.0
+    assert(fz.toSeq === Seq((2L, 101L)))
+  }
+
   test("repetition score: top 2-gram, lexicographic tie break, coverage fractions, short-doc nulls") {
     import spark.implicits._
     val docs = Seq(
