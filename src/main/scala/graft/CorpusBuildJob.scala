@@ -10,7 +10,9 @@ import graft.pipeline.DedupConfig
   * a corpus owner actually launches, chaining every family this library
   * ships: near-dup clustering (DedupJob's five resumable stages), caption
   * hygiene (token floor + Gopher repetition cap), eval-set decontamination
-  * (shared word n-grams with a benchmark table), canonical-member election,
+  * (exact shared word n-grams with a benchmark table, plus the opt-in
+  * near-match MinHash-LSH rule for re-formatted benchmark copies —
+  * `fuzzyMinJaccard`), canonical-member election,
   * and the leakage-free cluster-aware train/val/test split — under the same
   * atomic-manifest checkpoint-resume and lineage discipline as DedupJob
   * (north rule: resumable from checkpoint with per-partition lineage +
@@ -42,7 +44,12 @@ import graft.pipeline.DedupConfig
   */
 object CorpusBuildJob {
 
-  /** Pure-value config (no Arrays — resume keys stages on the hash). */
+  /** Pure-value config (no Arrays — resume keys stages on the hash).
+    * `fuzzyMinJaccard > 0` adds the near-match decontamination pass
+    * (TextOps.fuzzyDecontaminate) alongside the exact-gram rule: a
+    * benchmark caption that was re-formatted or token-edited into the
+    * crawl breaks every shared 13-gram but keeps high shingle Jaccard.
+    * 0.0 (default) disables it. */
   final case class BuildConfig(
       dedup: DedupConfig = DedupConfig(),
       minCaptionTokens: Int = 2,
@@ -50,10 +57,18 @@ object CorpusBuildJob {
       decontamN: Int = 5,
       nBuckets: Int = 10,
       trainUpTo: Int = 8,
-      valUpTo: Int = 9) {
-    def stageHash: String =
-      s"${dedup.stageHash}-t$minCaptionTokens-r$maxDup5Frac-n$decontamN-" +
-        s"s$nBuckets.$trainUpTo.$valUpTo"
+      valUpTo: Int = 9,
+      fuzzyMinJaccard: Double = 0.0) {
+    /** Non-default fields only (the DedupConfig pattern): adding a future
+      * config knob must not invalidate every existing stage manifest for
+      * configs that leave it at its default. */
+    def stageHash: String = {
+      val defaults = BuildConfig().productIterator.toSeq
+      val diff = productElementNames.zip(productIterator).zip(defaults)
+        .collect { case ((n, v), d) if v != d => s"$n=$v" }.toSeq
+      s"${dedup.stageHash}-" + java.lang.Integer.toHexString(
+        ("BuildConfig" +: diff).mkString(";").hashCode)
+    }
   }
 
   /** Caption hygiene signals + verdict: token floor and the Gopher
@@ -101,10 +116,23 @@ object CorpusBuildJob {
       case None => caps.select(col("doc_id"),
         lit(0L).as("n_shared_grams"), lit(0L).as("n_bench_docs")).limit(0)
     })
+    // near-match decontamination (opt-in): one row per (doc, near bench
+    // doc) — aggregated per doc so the stage table carries the evidence a
+    // corpus owner audits (how many benchmarks, how close)
+    val fuzzy = stages.stage("fuzzy_contaminated")(bench match {
+      case Some(b) if cfg.fuzzyMinJaccard > 0 =>
+        TextOps.fuzzyDecontaminate(caps, b, cfg.fuzzyMinJaccard)
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_bench_near"), max("jacc").as("max_jacc"))
+      case _ => caps.select(col("doc_id"), lit(0L).as("n_bench_near"),
+        lit(0.0).as("max_jacc")).limit(0)
+    })
+    val dropped = cont.select(col("doc_id").as("image_id"))
+      .union(fuzzy.select(col("doc_id").as("image_id")))
     val corpus = stages.stage("corpus")(
       assemble(clusters,
         hyg.filter(col("keep")).select(col("doc_id").as("image_id")),
-        cont.select(col("doc_id").as("image_id")),
+        dropped,
         cfg.nBuckets, cfg.trainUpTo, cfg.valUpTo)
         .join(images.select("image_id", "caption"), "image_id"))
 
@@ -121,6 +149,7 @@ object CorpusBuildJob {
       ("clusters", clusters.select("cluster_id").distinct().count()),
       ("hygiene_dropped", hyg.filter(!col("keep")).count()),
       ("contaminated_rows", cont.count()),
+      ("fuzzy_contaminated_rows", fuzzy.count()),
       ("corpus_rows", corpus.count())
     ) ++ perSplit).toDF("metric", "value")
     metrics.coalesce(1).write.mode("overwrite").parquet(s"$workDir/metrics_build")

@@ -32,6 +32,11 @@ object PlanDump {
     // (training grams never shuffle); the training scan must read only
     // (doc_id, text)
     dump("q41_decontaminate")
+    // fuzzy decontamination: BOTH benchmark sides (band table, shingle
+    // sets) must be BroadcastExchanges — the training side streams
+    // scan -> sketch -> band explode with no training-side shuffle; only
+    // matched candidates reach an exchange
+    dump("q51_fuzzy_decontaminate")
     // domain mixing: map-only — one broadcast hash join on the threshold
     // dim, the keep predicate inside the scan's codegen stage, no shuffle
     // before the per-source aggregate

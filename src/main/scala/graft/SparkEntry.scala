@@ -688,8 +688,9 @@ object SparkEntry {
       // the oracle needs no second input table) → canonical election among
       // survivors → leakage-free split. DuckDB re-derives EVERYTHING from
       // the dumped pair + caption evidence: closure, tokenizer, repetition
-      // fraction, gram-overlap contamination, min-survivor election, and
-      // the split hash.
+      // fraction, gram-overlap contamination, the near-match (fuzzy
+      // Jaccard) contamination rule, min-survivor election, and the split
+      // hash.
       val cfg = DedupConfig()
       val (images, _) = OracleDump.sharedCorpus(s, 40, 3, 30)
       val sigs = Dedup.signatures(images, cfg).localCheckpoint()
@@ -704,9 +705,13 @@ object SparkEntry {
         maxDup5 = 0.75)
       val bench = caps.orderBy("doc_id").limit(2)
       val cont = TextOps.decontaminate(caps, bench, n = 5)
+      // the opt-in near-match rule (CorpusBuildJob fuzzyMinJaccard), also
+      // re-derived by the oracle: word-3-gram Jaccard >= 0.5 vs the bench
+      val fuzzy = TextOps.fuzzyDecontaminate(caps, bench, 0.5)
       graft.CorpusBuildJob.assemble(Dedup.clusters(images, pairs),
         hyg.filter(col("keep")).select(col("doc_id").as("image_id")),
-        cont.select(col("doc_id").as("image_id")),
+        cont.select(col("doc_id").as("image_id"))
+          .union(fuzzy.select(col("doc_id").as("image_id"))),
         nBuckets = 10, trainUpTo = 8, valUpTo = 9)
         .orderBy("image_id")
     }),
@@ -1619,9 +1624,18 @@ object SparkEntry {
         |be AS (SELECT DISTINCT gram FROM gb
         |  WHERE doc_id IN (SELECT doc_id FROM caps ORDER BY doc_id LIMIT 2)),
         |cont AS (SELECT DISTINCT gb.doc_id FROM gb JOIN be USING (gram)),
+        |sh3 AS (SELECT doc_id, list_distinct(
+        |   [array_to_string(t[i:i+2], ' ') FOR i IN range(1, len(t)-1)]) AS sh
+        |  FROM tok),
+        |bsh AS (SELECT * FROM sh3
+        |  WHERE doc_id IN (SELECT doc_id FROM caps ORDER BY doc_id LIMIT 2)),
+        |fz AS (SELECT DISTINCT a.doc_id FROM sh3 a JOIN bsh b ON
+        |  round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+        |   (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 4) >= 0.5),
         |canon AS (SELECT cluster_id, min(image_id) AS image_id FROM cl
         |  WHERE image_id IN (SELECT doc_id FROM hyg)
         |    AND image_id NOT IN (SELECT doc_id FROM cont)
+        |    AND image_id NOT IN (SELECT doc_id FROM fz)
         |  GROUP BY cluster_id),
         |h AS (SELECT image_id, cluster_id,
         |    CAST(list_sum([unicode(cluster_id[i]) * i

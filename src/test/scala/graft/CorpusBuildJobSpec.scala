@@ -70,6 +70,54 @@ class CorpusBuildJobSpec extends AnyFunSuite {
     corpus.unpersist()
   }
 
+  test("fuzzy decontamination: a token-edited benchmark copy is dropped only when enabled; dedup stages survive the toggle") {
+    val root = Files.createTempDirectory("graft-corpusbuild-fz").toString
+    val (images, truth) = SyntheticCorpus.generate(spark,
+      nGroups = 8, variantsPerGroup = 2, nDistractors = 12)
+    val caps = images.select(col("image_id").as("doc_id"),
+      col("caption").as("text"))
+    // distractors are singleton truth groups — their row is its own
+    // cluster canonical, so dropping it visibly changes the output corpus
+    val singletonIds = truth.groupBy("group_id")
+      .agg(count(lit(1)).as("n"), min("image_id").as("image_id"))
+      .filter(col("n") === 1).select("image_id")
+      .collect().map(_.getString(0)).toSet
+    // a singleton-cluster caption of 13..25 tokens: one token edit at
+    // position 13 breaks EVERY shared 13-gram (all window starts cover
+    // position 13 at n <= 25) while word-3-gram jaccard stays at
+    // (n-5)/(n+1) >= 0.57 — the re-formatted-benchmark case the exact rule
+    // is blind to
+    val (targetId, targetCap) = caps.collect()
+      .map(r => (r.getString(0), r.getString(1)))
+      .filter { case (id, t) =>
+        val n = t.split(" ").length; singletonIds(id) && n >= 13 && n <= 25 }
+      .minBy(_._1)
+    import spark.implicits._
+    val edited = targetCap.split(" ").updated(12, "zzedited").mkString(" ")
+    val bench = Seq(("bench0", edited)).toDF("doc_id", "text")
+    val cfg = CorpusBuildJob.BuildConfig(minCaptionTokens = 2, decontamN = 13)
+
+    val off = CorpusBuildJob.run(spark, images, root, Some(bench), cfg)
+      .select("image_id").collect().map(_.getString(0)).toSet
+    val on = CorpusBuildJob.run(spark, images, root, Some(bench),
+      cfg.copy(fuzzyMinJaccard = 0.5))
+      .select("image_id").collect().map(_.getString(0)).toSet
+
+    assert(off(targetId), "exact 13-gram rule alone must miss the edited copy")
+    assert(!on(targetId), "fuzzy rule must drop the near-match")
+    assert(off - targetId === on, "fuzzy toggle must change exactly the target")
+    val metrics = spark.read.parquet(s"$root/metrics_build").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(metrics("fuzzy_contaminated_rows") === 1L)
+    assert(metrics("contaminated_rows") === 0L)
+    // toggling the fuzzy knob re-keys the build stages but must NOT re-run
+    // decode+LSH (the same 100-TB property as the hygiene re-tune below)
+    val dl = spark.read.parquet(s"$root/dedup/lineage").collect()
+      .map(r => r.getString(0) -> r.getBoolean(1)).toMap
+    assert(dl.values.forall(identity),
+      "dedup stages must survive the fuzzy toggle")
+  }
+
   test("resume: identical rerun resumes every stage; hygiene re-tune keeps dedup stages") {
     val root = Files.createTempDirectory("graft-corpusbuild-rs").toString
     val (images, _) = SyntheticCorpus.generate(spark,
