@@ -35,8 +35,17 @@ object PlanDump {
     // fuzzy decontamination: BOTH benchmark sides (band table, shingle
     // sets) must be BroadcastExchanges — the training side streams
     // scan -> sketch -> band explode with no training-side shuffle; only
-    // matched candidates reach an exchange
-    dump("q51_fuzzy_decontaminate")
+    // matched candidates reach an exchange. The unscoped body is dumped
+    // (the scope's eager checkpoint reduces explain() to an RDD scan).
+    println("\n===== q51_fuzzy_decontaminate (unscoped body) =====")
+    locally {
+      import org.apache.spark.sql.functions._
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      graft.ops.TextOps.fuzzyDecontaminateUnscoped(
+        docs.filter(pmod(col("doc_id"), lit(10L)) =!= 0),
+        docs.filter(pmod(col("doc_id"), lit(10L)) === 0), 0.5)
+        .explain("formatted")
+    }
     // domain mixing: map-only — one broadcast hash join on the threshold
     // dim, the keep predicate inside the scan's codegen stage, no shuffle
     // before the per-source aggregate

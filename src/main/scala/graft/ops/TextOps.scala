@@ -244,27 +244,41 @@ object TextOps {
       minJaccard: Double = 0.5, k: Int = 64, bands: Int = 16,
       rows: Int = 4): DataFrame =
     graft.core.Checkpoints.scoped(train.sparkSession) {
-      // train sketches feed the band explode AND the verify join-back;
-      // bench sketches feed the (broadcast) band table AND the verify —
-      // each materialized once
-      val ts = graft.core.Checkpoints.ckpt(DedupOps.shingleSketch(train, k))
-      val bs = graft.core.Checkpoints.ckpt(DedupOps.shingleSketch(bench, k))
-      val tb = DedupOps.sketchBands(ts, bands, rows)
-      val bb = DedupOps.sketchBands(bs, bands, rows)
-        .select(col("doc_id").as("bench_id"), col("band_id"), col("band_key"))
-      val cands = tb.join(broadcast(bb), Seq("band_id", "band_key"))
-        .select("doc_id", "bench_id").distinct()
-      val jacc = udf((x: Seq[Long], y: Seq[Long]) =>
-        graft.core.MinHash.exactJaccard(x.toSet, y.toSet))
-      cands
-        .join(ts.select(col("doc_id"), col("sh")), "doc_id")
-        .join(broadcast(bs.select(col("doc_id").as("bench_id"),
-          col("sh").as("bench_sh"))), "bench_id")
-        .withColumn("jacc", round(jacc(col("sh"), col("bench_sh")), 4))
-        .filter(col("jacc") >= minJaccard)
-        .select(col("doc_id"), col("bench_id"), col("jacc"))
-        .orderBy("doc_id", "bench_id")
+      fuzzyDecontaminateImpl(train, bench, minJaccard, k, bands, rows,
+        graft.core.Checkpoints.ckpt)
     }
+
+  /** The operator body without the checkpoint scope — PlanDump uses this to
+    * inspect the composed physical plan (a scope's eager materialization
+    * reduces explain() to the checkpointed RDD scan). */
+  private[graft] def fuzzyDecontaminateUnscoped(train: DataFrame,
+      bench: DataFrame, minJaccard: Double): DataFrame =
+    fuzzyDecontaminateImpl(train, bench, minJaccard, 64, 16, 4, identity)
+
+  private def fuzzyDecontaminateImpl(train: DataFrame, bench: DataFrame,
+      minJaccard: Double, k: Int, bands: Int, rows: Int,
+      mat: DataFrame => DataFrame): DataFrame = {
+    // train sketches feed the band explode AND the verify join-back;
+    // bench sketches feed the (broadcast) band table AND the verify —
+    // each materialized once
+    val ts = mat(DedupOps.shingleSketch(train, k))
+    val bs = mat(DedupOps.shingleSketch(bench, k))
+    val tb = DedupOps.sketchBands(ts, bands, rows)
+    val bb = DedupOps.sketchBands(bs, bands, rows)
+      .select(col("doc_id").as("bench_id"), col("band_id"), col("band_key"))
+    val cands = tb.join(broadcast(bb), Seq("band_id", "band_key"))
+      .select("doc_id", "bench_id").distinct()
+    val jacc = udf((x: Seq[Long], y: Seq[Long]) =>
+      graft.core.MinHash.exactJaccard(x.toSet, y.toSet))
+    cands
+      .join(ts.select(col("doc_id"), col("sh")), "doc_id")
+      .join(broadcast(bs.select(col("doc_id").as("bench_id"),
+        col("sh").as("bench_sh"))), "bench_id")
+      .withColumn("jacc", round(jacc(col("sh"), col("bench_sh")), 4))
+      .filter(col("jacc") >= minJaccard)
+      .select(col("doc_id"), col("bench_id"), col("jacc"))
+      .orderBy("doc_id", "bench_id")
+  }
 
   /** Per-doc intra-document repetition signals (the Gopher quality-filter
     * family, Rae et al. 2021 §A1.1): the most frequent word 2-gram and the
