@@ -46,6 +46,10 @@ object PlanDump {
         docs.filter(pmod(col("doc_id"), lit(10L)) === 0), 0.5)
         .explain("formatted")
     }
+    // semantic decontamination: a BroadcastNestedLoopJoin under a broadcast
+    // bench — MAP-ONLY over the corpus (no corpus-side exchange at all),
+    // the codegen dot product inside the join's filter
+    dump("q52_semantic_decontaminate")
     // domain mixing: map-only — one broadcast hash join on the threshold
     // dim, the keep predicate inside the scan's codegen stage, no shuffle
     // before the per-source aggregate

@@ -159,6 +159,17 @@ object SparkEntry {
         minJaccard = 0.5, minCos = 0.4, approxSem = true,
         tier3ProbeDump = df => OracleDump.dump("q39_probes", df)).verdicts
     }),
+    "q52_semantic_decontaminate" -> ((s, dir) => {
+      // the decontamination family's third rung: embedding cosine vs the
+      // benchmark split — catches PARAPHRASED eval contamination that
+      // shares no grams (q41) and little shingle jaccard (q51). Map-only
+      // over the corpus under a broadcast bench; DuckDB brute-forces the
+      // same cross cosine as the value oracle.
+      val emb = rd(s, dir, "embeddings")
+      EmbeddingOps.crossCosineContaminated(
+        emb.filter(pmod(col("vec_id"), lit(10L)) =!= 0),
+        emb.filter(pmod(col("vec_id"), lit(10L)) === 0), 0.4)
+    }),
     // ---- similarity search over embeddings ----
     "q19_knn_brute" -> ((s, dir) => EmbeddingOps.knnBrute(rd(s, dir, "embeddings"))),
     "q20_cosine_pairs" -> ((s, dir) =>
@@ -1105,6 +1116,18 @@ object SparkEntry {
         |WHERE list_dot_product(a.v, b.v) /
         |  (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.4
         |ORDER BY vec_a, vec_b""".stripMargin,
+    "q52_semantic_decontaminate" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |tr AS (SELECT * FROM e WHERE vec_id % 10 <> 0),
+        |be AS (SELECT * FROM e WHERE vec_id % 10 = 0)
+        |SELECT tr.vec_id AS doc_id, be.vec_id AS bench_id,
+        | round(list_dot_product(tr.v, be.v) /
+        |  (sqrt(list_dot_product(tr.v, tr.v)) * sqrt(list_dot_product(be.v, be.v))), 4)
+        |  AS cos
+        |FROM tr JOIN be ON
+        | list_dot_product(tr.v, be.v) /
+        |  (sqrt(list_dot_product(tr.v, tr.v)) * sqrt(list_dot_product(be.v, be.v))) >= 0.4
+        |ORDER BY doc_id, bench_id""".stripMargin,
     "q21_label_stats" ->
       """WITH e AS (SELECT label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
         |SELECT label, count(*) AS n,

@@ -87,6 +87,37 @@ object EmbeddingOps {
       .orderBy("vec_a", "vec_b")
   }
 
+  /** Cross-corpus semantic contamination: every (corpus doc, benchmark
+    * doc) pair with embedding cosine >= `minCos` — the third rung of the
+    * decontamination family after exact grams (`TextOps.decontaminate`)
+    * and lexical near-match (`TextOps.fuzzyDecontaminate`): a PARAPHRASED
+    * eval answer shares no 13-grams and little shingle Jaccard, but its
+    * embedding stays close (the SemDeDup observation applied across
+    * corpora).
+    *
+    * Scale shape: benchmark embeddings are a broadcast dim (thousands of
+    * eval rows × dims floats); the corpus side is a MAP-ONLY scan — each
+    * row computes |bench| codegen dot products and emits only matches, so
+    * the plan is a BroadcastNestedLoopJoin with no corpus-side shuffle and
+    * no candidate materialization at all: O(N·B) work fully distributed,
+    * the honest shape while B is broadcast-sized. If the bench side ever
+    * outgrew the broadcast budget, the banded multi-probe machinery above
+    * is the same-semantics fallback (the q38 path with the bench as the
+    * stored side). */
+  def crossCosineContaminated(corpus: DataFrame, bench: DataFrame,
+      minCos: Double): DataFrame = {
+    val c = fanOut(corpus).select(col("vec_id").as("doc_id"),
+      col("embedding").as("c_emb"), normCol(col("embedding")).as("c_nrm"))
+    val b = bench.select(col("vec_id").as("bench_id"),
+      col("embedding").as("b_emb"), normCol(col("embedding")).as("b_nrm"))
+    c.join(broadcast(b), lit(true))
+      .withColumn("cos",
+        dotCol(col("c_emb"), col("b_emb")) / (col("c_nrm") * col("b_nrm")))
+      .filter(col("cos") >= minCos)
+      .select(col("doc_id"), col("bench_id"), round(col("cos"), 4).as("cos"))
+      .orderBy("doc_id", "bench_id")
+  }
+
   /** Per-label centroid stats (count, mean norm) — the cheap clustering
     * sanity aggregate. */
   def labelStats(emb: DataFrame): DataFrame =

@@ -386,6 +386,26 @@ class OpsSpec extends AnyFunSuite {
     assert(got.toSeq === Seq((1L, 1L, 2L), (2L, 1L, 2L)))
   }
 
+  test("semantic decontaminate equals the cross-split restriction of exact cosine pairs") {
+    val train = emb.filter(pmod(col("vec_id"), lit(10L)) =!= 0)
+    val bench = emb.filter(pmod(col("vec_id"), lit(10L)) === 0)
+    val got = EmbeddingOps.crossCosineContaminated(train, bench, 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // cosinePairs (the q20-oracle-backed exact baseline) restricted to
+    // pairs straddling the split, re-oriented to (train, bench)
+    val expected = EmbeddingOps.cosinePairs(emb, 0.4).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .flatMap { case (a, b, c) =>
+        (a % 10, b % 10) match {
+          case (0, x) if x != 0 => Some((b, a, c))
+          case (x, 0) if x != 0 => Some((a, b, c))
+          case _ => None
+        }
+      }.toSet
+    assert(got === expected, s"got=${got.size} expected=${expected.size}")
+    assert(expected.nonEmpty, "fixture should contain cross-split pairs")
+  }
+
   test("fuzzy decontaminate equals brute-force cross jaccard on the fixture") {
     val train = docs.filter(pmod(col("doc_id"), lit(10L)) =!= 0)
     val bench = docs.filter(pmod(col("doc_id"), lit(10L)) === 0)
