@@ -41,10 +41,21 @@ object EmbeddingOps {
 
   def normCol(a: Column): Column = sqrt(dotCol(a, a))
 
-  /** Tiny inputs arrive as one parquet split; fan the O(n²) stream side out
-    * to the session's parallelism before the pair join. */
-  private def fanOut(df: DataFrame): DataFrame =
-    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+  /** Tiny inputs arrive as one parquet split; fan the compute-heavy side
+    * out to the session's parallelism before the projection/join — but
+    * ONLY when the scan is genuinely starved (the `Dedup.signatures`
+    * rule): at scale the input already covers the cores and an
+    * unconditional repartition would be a corpus-wide shuffle of the
+    * embedding vectors for nothing. */
+  private def fanOut(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    val parts = df.queryExecution.logical match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.getNumPartitions
+      case _ => df.rdd.getNumPartitions
+    }
+    if (parts < target) df.repartition(target) else df
+  }
 
   /** Exact top-k neighbors by cosine for the query set `vec_id < nQueries`.
     * The query side is tiny → broadcast; the corpus side streams through one
