@@ -64,8 +64,11 @@ object CorpusBuildJob {
       * configs that leave it at its default. */
     def stageHash: String = {
       val defaults = BuildConfig().productIterator.toSeq
+      // the dedup config contributes through its own stageHash prefix —
+      // excluded from the diff so it is not double-counted
       val diff = productElementNames.zip(productIterator).zip(defaults)
-        .collect { case ((n, v), d) if v != d => s"$n=$v" }.toSeq
+        .collect { case ((n, v), d) if v != d && n != "dedup" => s"$n=$v" }
+        .toSeq
       s"${dedup.stageHash}-" + java.lang.Integer.toHexString(
         ("BuildConfig" +: diff).mkString(";").hashCode)
     }
@@ -161,7 +164,8 @@ object CorpusBuildJob {
   def main(args: Array[String]): Unit = {
     if (args.length < 2) {
       System.err.println(
-        "usage: graft.CorpusBuildJob <inputParquet> <workDir> [benchParquet]")
+        "usage: graft.CorpusBuildJob <inputParquet> <workDir> " +
+          "[benchParquet] [fuzzyMinJaccard]")
       sys.exit(2)
     }
     val input = args(0)
@@ -169,7 +173,9 @@ object CorpusBuildJob {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = Bench.makeSession(cpus)
     val bench = args.lift(2).map(p => spark.read.parquet(p))
-    val corpus = run(spark, spark.read.parquet(input), workDir, bench)
+    val cfg = BuildConfig(
+      fuzzyMinJaccard = args.lift(3).map(_.toDouble).getOrElse(0.0))
+    val corpus = run(spark, spark.read.parquet(input), workDir, bench, cfg)
     corpus.write.mode("overwrite").parquet(s"$workDir/corpus_out")
     println(s"corpus: ${spark.read.parquet(s"$workDir/corpus_out").count()} rows")
     spark.stop()

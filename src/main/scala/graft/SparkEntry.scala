@@ -667,6 +667,15 @@ object SparkEntry {
       graft.ops.MixOps.clusterSplit(Dedup.clusters(images, pairs))
         .orderBy("image_id")
     }),
+    "q53_mix_plan" -> ((s, dir) => {
+      // token-budget mix planning: src0 is over-weighted (alloc 5000
+      // tokens vs a ~1400-token source) so the rate cap + shortfall
+      // reporting is exercised; the other 19 sources plan at rate < 1.
+      // The thresholds land directly in q43's sampler (same modulus).
+      val weights = Map("src0" -> 0.5) ++
+        (1 until 20).map(i => s"src$i" -> 0.025)
+      graft.ops.MixOps.mixPlan(rd(s, dir, "documents"), weights, 10000L)
+    }),
     "q46_stratified_sample" -> ((s, dir) => {
       // exact-quota per-source sample: the 10 docs per source with the
       // smallest portable-LCG hash values — the quota companion of q43's
@@ -1594,6 +1603,28 @@ object SparkEntry {
         |    AS BIGINT) AS rk
         |  FROM documents)
         |WHERE rk <= 10 ORDER BY source, rk""".stripMargin,
+    "q53_mix_plan" -> {
+      val weightRows = (Seq("src0" -> 0.5) ++
+        (1 until 20).map(i => s"src$i" -> 0.025)).sortBy(_._1)
+        .map { case (s, w) => s"('$s', CAST($w AS DOUBLE))" }.mkString(", ")
+      s"""WITH w(source, weight) AS (VALUES $weightRows),
+        |t AS (SELECT source, count(*) AS n_docs,
+        |   CAST(sum(len(list_filter(regexp_split_to_array(text,'\\s+'),
+        |     x -> x <> ''))) AS BIGINT) AS n_tokens
+        |  FROM documents GROUP BY source),
+        |p AS (SELECT t.source, n_docs, n_tokens, weight,
+        |   weight * 10000.0 AS alloc_raw,
+        |   least(CAST(1.0 AS DOUBLE), weight * 10000.0 / n_tokens) AS rate_raw
+        |  FROM t JOIN w ON t.source = w.source)
+        |SELECT source, n_docs, n_tokens, weight,
+        |  round(alloc_raw, 4) AS alloc_tokens,
+        |  round(rate_raw, 6) AS rate,
+        |  CAST(floor(rate_raw * 1000003.0) AS BIGINT) AS thr,
+        |  round(rate_raw * n_tokens, 4) AS expected_tokens,
+        |  round(greatest(CAST(0.0 AS DOUBLE), alloc_raw - n_tokens), 4)
+        |    AS shortfall
+        |FROM p ORDER BY source""".stripMargin
+    },
     "q47_dedup_report" ->
       s"""WITH RECURSIVE pairs AS (
         |  SELECT a, b FROM read_parquet('${OracleDump.glob("q47_pairs")}')),

@@ -73,6 +73,49 @@ object MixOps {
       .filter(col("rk") <= k)
   }
 
+  /** Token-budget mix planning — the step between token counting
+    * (TextOps.tokenCount) and the deterministic samplers: training mixes
+    * are specified in TOKENS per source ("60% web, 15% code"), not rows,
+    * so the planner turns per-source token totals + target weights + a
+    * total token budget into the keep RATE per source and the integer
+    * threshold `TextOps.deterministicSample` consumes. A source that
+    * cannot fill its allocation caps at rate 1.0 and REPORTS the
+    * shortfall — re-weighting the remainder is a policy decision, not an
+    * engine one, so nothing is silently reallocated.
+    *
+    * Scale shape: one aggregate over (source, token-count) rows — the
+    * token count is a map-side projection and the groupBy key space is
+    * the source list (tiny); the weight table is a broadcast dim. All
+    * arithmetic is IEEE-double + floor, engine-portable, so the DuckDB
+    * oracle re-derives the plan exactly (q53). */
+  def mixPlan(docs: DataFrame, weights: Map[String, Double],
+      budgetTokens: Long, m: Long = 1000003L): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    import org.apache.spark.sql.types.{DoubleType, StringType, StructField, StructType}
+    val dim = broadcast(docs.sparkSession.createDataFrame(
+      weights.toSeq.sortBy(_._1)
+        .map { case (s, w) => org.apache.spark.sql.Row(s, w) }.asJava,
+      StructType(Seq(StructField("source", StringType, nullable = false),
+        StructField("weight", DoubleType, nullable = false)))))
+    val perSource = docs
+      .select(col("source"),
+        size(TextOps.tokensCol(col("text"))).cast("long").as("n_tok"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("n_tokens"))
+    perSource.join(dim, Seq("source"), "inner")
+      .withColumn("alloc_raw", col("weight") * lit(budgetTokens.toDouble))
+      .withColumn("rate_raw",
+        least(lit(1.0), col("alloc_raw") / col("n_tokens")))
+      .select(col("source"), col("n_docs"), col("n_tokens"), col("weight"),
+        round(col("alloc_raw"), 4).as("alloc_tokens"),
+        round(col("rate_raw"), 6).as("rate"),
+        floor(col("rate_raw") * lit(m.toDouble)).cast("long").as("thr"),
+        round(col("rate_raw") * col("n_tokens"), 4).as("expected_tokens"),
+        round(greatest(lit(0.0), col("alloc_raw") - col("n_tokens")), 4)
+          .as("shortfall"))
+      .orderBy("source")
+  }
+
   /** Dedup savings report: cluster-size histogram with image and byte
     * accounting — for each cluster size `sz`: how many clusters, how many
     * records they hold, and the bytes REMOVED by keeping only the canonical

@@ -19,6 +19,46 @@ class MixOpsSpec extends AnyFunSuite {
     assert(got("ba") === 292L)
   }
 
+  test("mixPlan: hand-computed plan — rate cap, shortfall, floor threshold") {
+    import spark.implicits._
+    // A: 10 tokens over 2 docs; B: 20 tokens over 2 docs. Budget 40,
+    // weights 0.5/0.5 -> A alloc 20 > 10: rate caps at 1.0 (thr = m),
+    // shortfall 10; B alloc 20 over 20 tokens: rate 1.0 exactly, no
+    // shortfall. With weight 0.1 B would plan 4/20 = rate 0.2.
+    val docs = Seq(
+      (1L, "srcA", "t1 t2 t3 t4 t5"), (2L, "srcA", "t1 t2 t3 t4 t5"),
+      (3L, "srcB", (1 to 10).map(i => s"b$i").mkString(" ")),
+      (4L, "srcB", (1 to 10).map(i => s"b$i").mkString(" ")))
+      .toDF("doc_id", "source", "text")
+    val plan = MixOps.mixPlan(docs,
+      Map("srcA" -> 0.5, "srcB" -> 0.1), budgetTokens = 40L)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(4), r.getDouble(5),
+          r.getLong(6), r.getDouble(7), r.getDouble(8))).toMap
+    // srcA: 2 docs, 10 tokens, alloc 20, rate 1.0, thr = m, expect 10, short 10
+    assert(plan("srcA") === ((2L, 10L, 20.0, 1.0, 1000003L, 10.0, 10.0)))
+    // srcB: alloc 4.0 over 20 tokens -> rate 0.2, thr = floor(0.2*1000003)
+    assert(plan("srcB") === ((2L, 20L, 4.0, 0.2, 200000L, 4.0, 0.0)))
+    // a source absent from the weight map plans nothing (inner join)
+    assert(!plan.contains("srcC"))
+  }
+
+  test("mixPlan thresholds feed deterministicSample: a capped source keeps every doc") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "srcA", "t1 t2 t3"), (2L, "srcA", "t4 t5 t6"),
+      (3L, "srcB", (1 to 50).map(i => s"b$i").mkString(" ")),
+      (4L, "srcB", (1 to 50).map(i => s"b$i").mkString(" ")))
+      .toDF("doc_id", "source", "text")
+    val plan = MixOps.mixPlan(docs, Map("srcA" -> 0.9, "srcB" -> 0.1),
+      budgetTokens = 50L)
+    val thr = plan.collect().map(r => r.getString(0) -> r.getLong(6)).toMap
+    val kept = TextOps.deterministicSample(docs, thr)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // srcA alloc 45 tokens over 6 -> capped, thr = m keeps BOTH docs
+    assert(kept.contains(1L) && kept.contains(2L))
+  }
+
   test("clusterSplit never lets a cluster straddle two splits") {
     import spark.implicits._
     val clusters = Seq(
