@@ -38,11 +38,19 @@ object ConnectedComponents {
     * 36-char ids, forced-GC diff): ~225 B per symmetrized edge — 113 MB at
     * 0.5M, 227 MB at 1M, 450 MB at 2M edges (the collected tuple array is
     * ~5/6 of it, the union-find tables ~1/6). The default threshold spends
-    * at most a quarter of the driver heap on it, capped at 2M edges. */
+    * at most a quarter of the driver heap on it, capped at 16M edges
+    * (3.6 GB — the cap binds only above ~14 GB of driver heap; below
+    * that the heap/4 term governs). The cap was 2M through round 4, tuned
+    * for a small driver: the round-5 735k-image scaling run crossed it at
+    * 2.5M edges, fell into the distributed fixpoint, and its per-round
+    * scheduling floor showed up as a ~50 s Amdahl tail at BOTH 2 and 8
+    * cores (2→8 efficiency 0.720) — the loop's per-iteration cost is
+    * fixed shuffle/scheduling until edge volume is orders of magnitude
+    * larger, which is precisely when the driver no longer fits it. */
   val MeasuredBytesPerEdge = 225L
 
   def defaultLocalEdgeThreshold: Long =
-    math.min(2000000L, Runtime.getRuntime.maxMemory / 4 / MeasuredBytesPerEdge)
+    math.min(16000000L, Runtime.getRuntime.maxMemory / 4 / MeasuredBytesPerEdge)
 
   /** @param edges two string columns `a`, `b` (undirected pairs)
     * @param vertices one string column `id` (all vertices, incl. singletons)
