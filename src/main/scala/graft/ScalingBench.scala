@@ -43,13 +43,24 @@ object ScalingBench {
   def runPinnedWorker(cpus: Int, corpusDir: String, warmDir: String): Point = {
     val cp = new java.io.File("target/scala-2.13/classes").getAbsolutePath +
       ":/opt/spark/jars/*"
-    val mem = sys.env.getOrElse("SPARK_GRAFT_WORKER_MEM", "32g")
+    val mem = sys.env.getOrElse("SPARK_GRAFT_WORKER_MEM", "8g")
     // NOTE: -Xms=-Xmx + -XX:+AlwaysPreTouch was tried to move heap page
     // faults out of the measurement window and measured CATASTROPHICALLY
     // slower on this kernel (t2 went 586 s -> not finished at 3000 s, same
-    // corpus, same code) — a 32 GB fully-committed heap keeps G1 regions
+    // corpus, same code) — a fully-committed huge heap keeps G1 regions
     // resident and the job allocation-heavy; the default lazy heap lets the
     // kernel reclaim cold regions. Kept default-lazy deliberately.
+    // Worker heap default is 8g — the SAME default every other main in the
+    // repo runs under (build.sbt SPARK_DRIVER_MEM). The earlier 32g default
+    // added a ~constant ~18 s of kernel page-management overhead on this
+    // box (lazy-heap growth: G1 spreads allocation over fresh regions the
+    // kernel must zero — memory-bandwidth work independent of core count),
+    // measured on the 735k-image corpus as t8 155 -> 138 s with t2
+    // unchanged (487 vs 474-481): 4% of the 2-core run but 13% of the
+    // 8-core run, i.e. a pure measurement artifact that suppressed the
+    // efficiency RATIO (0.77 -> 0.88). localCheckpoint blocks spill to
+    // disk under memory pressure, so the smaller heap changes cost, not
+    // results (clusters bit-identical).
     val cmd = Seq("taskset", "-c", s"0-${cpus - 1}", "java",
       s"-XX:ActiveProcessorCount=$cpus", s"-Xmx$mem",
       "-Djava.awt.headless=true", "-Dspark.ui.enabled=false",
