@@ -144,16 +144,27 @@ object CorpusBuildJob {
       length(col("bytes")).cast("long").as("n_bytes"))
     MixOps.dedupReport(clusters, sizes)
       .coalesce(1).write.mode("overwrite").parquet(s"$workDir/report")
+    // stage row counts from the commit manifests (counted at write time —
+    // r5 verdict #7); the remaining jobs are independent → concurrent
     import spark.implicits._
-    val perSplit = corpus.groupBy("split").count().collect()
+    val hash = cfg.stageHash
+    def rowsOf(name: String, fallback: => Long): Long =
+      stages.io.stageRows(name, hash).getOrElse(fallback)
+    val Seq(perSplitRaw, inputRows, nClusters, hygDropped) =
+      graft.core.Checkpoints.parallelRun[Any](Seq(
+        () => corpus.groupBy("split").count().collect(),
+        () => images.count(),
+        () => clusters.select("cluster_id").distinct().count(),
+        () => hyg.filter(!col("keep")).count()))
+    val perSplit = perSplitRaw.asInstanceOf[Array[org.apache.spark.sql.Row]]
       .map(r => s"${r.getString(0)}_rows" -> r.getLong(1)).toSeq
     val metrics = (Seq(
-      ("input_rows", images.count()),
-      ("clusters", clusters.select("cluster_id").distinct().count()),
-      ("hygiene_dropped", hyg.filter(!col("keep")).count()),
-      ("contaminated_rows", cont.count()),
-      ("fuzzy_contaminated_rows", fuzzy.count()),
-      ("corpus_rows", corpus.count())
+      ("input_rows", inputRows.asInstanceOf[Long]),
+      ("clusters", nClusters.asInstanceOf[Long]),
+      ("hygiene_dropped", hygDropped.asInstanceOf[Long]),
+      ("contaminated_rows", rowsOf("contaminated", cont.count())),
+      ("fuzzy_contaminated_rows", rowsOf("fuzzy_contaminated", fuzzy.count())),
+      ("corpus_rows", rowsOf("corpus", corpus.count()))
     ) ++ perSplit).toDF("metric", "value")
     metrics.coalesce(1).write.mode("overwrite").parquet(s"$workDir/metrics_build")
     stages.lineageLog.toDF("stage", "resumed_from_checkpoint")

@@ -49,19 +49,30 @@ object DedupJob {
     val clusters = stages.stage("clusters")(Dedup.clusters(images, pairs))
 
     // metrics + lineage tables (north rule: per-partition observability;
-    // bucket skew stats make capped rows explicit — no silent truncation)
+    // bucket skew stats make capped rows explicit — no silent truncation).
+    // Stage row counts come from the commit manifests (the count was paid
+    // at write time — re-running a count job per stage was pure overhead,
+    // r5 verdict #7); the jobs that remain (input count, skew stats,
+    // distinct clusters) are independent and run concurrently.
     import spark.implicits._
-    val skew = Dedup.bucketStats(bands, cfg).collect()(0)
+    def rowsOf(name: String, fallback: => Long): Long =
+      io.stageRows(name, cfgHash).getOrElse(fallback)
+    val Seq(inputRows, skewRow, nClusters) =
+      graft.core.Checkpoints.parallelRun[Any](Seq(
+        () => images.count(),
+        () => Dedup.bucketStats(bands, cfg).collect()(0),
+        () => clusters.select("cluster_id").distinct().count()))
+    val skew = skewRow.asInstanceOf[org.apache.spark.sql.Row]
     val metrics = Seq(
-      ("input_rows", images.count()),
-      ("signatures", sigs.count()),
-      ("band_rows", bands.count()),
+      ("input_rows", inputRows.asInstanceOf[Long]),
+      ("signatures", rowsOf("signatures", sigs.count())),
+      ("band_rows", rowsOf("bands", bands.count())),
       ("buckets", skew.getAs[Long]("buckets")),
       ("max_bucket", skew.getAs[Long]("max_bucket")),
       ("hot_buckets_above_threshold", skew.getAs[Long]("hot_buckets")),
-      ("candidate_pairs", cands.count()),
-      ("verified_pairs", pairs.count()),
-      ("clusters", clusters.select("cluster_id").distinct().count())
+      ("candidate_pairs", rowsOf("candidates", cands.count())),
+      ("verified_pairs", rowsOf("pairs", pairs.count())),
+      ("clusters", nClusters.asInstanceOf[Long])
     ).toDF("metric", "value")
     metrics.coalesce(1).write.mode("overwrite").parquet(s"$workDir/metrics")
     stages.lineageLog.toDF("stage", "resumed_from_checkpoint")

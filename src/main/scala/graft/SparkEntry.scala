@@ -216,11 +216,16 @@ object SparkEntry {
       val cfg = DedupConfig()
       val (images, _) = OracleDump.sharedCorpus(s, 40, 3, 30)
       val sigs = Dedup.signatures(images, cfg).localCheckpoint()
-      val cands = Dedup.candidates(Dedup.bands(sigs, cfg), cfg).localCheckpoint()
-      val pairs = OracleDump.dump("q23_pairs",
-        Dedup.verified(cands, sigs, cfg)
-          .union(Dedup.substringPairs(sigs, cfg)).distinct())
-      OracleDump.dump("q23_ids", images.select("image_id"))
+      // candidate and substring passes both depend only on sigs — run the
+      // two materializations as concurrent jobs (guide §2.6); the unioned
+      // pair set is unchanged
+      val (cands, ssp) = graft.core.Checkpoints.par2(
+        () => Dedup.candidates(Dedup.bands(sigs, cfg), cfg).localCheckpoint(),
+        () => Dedup.substringPairs(sigs, cfg).localCheckpoint())
+      val (pairs, _) = graft.core.Checkpoints.par2(
+        () => OracleDump.dump("q23_pairs",
+          Dedup.verified(cands, sigs, cfg).union(ssp).distinct()),
+        () => OracleDump.dump("q23_ids", images.select("image_id")))
       Dedup.clusters(images, pairs).orderBy("image_id")
     }),
     "q24_img_pairs" -> ((s, _) => {
@@ -235,12 +240,16 @@ object SparkEntry {
     "q25_img_recall" -> ((s, _) => {
       val cfg = DedupConfig()
       val (images, truth) = OracleDump.sharedCorpus(s, 40, 3, 30)
-      val predicted = OracleDump.dump("q25_pred",
-        Dedup.clusterPairs(Dedup.run(images, cfg)))
       val tl = truth.select(col("group_id"), col("image_id").as("a"))
       val tr = truth.select(col("group_id"), col("image_id").as("b"))
-      val truthPairs = OracleDump.dump("q25_truth",
-        tl.join(tr, "group_id").filter(col("a") < col("b")).select("a", "b"))
+      // the pipeline run and the truth-pair derivation are independent —
+      // concurrent jobs (guide §2.6)
+      val (predicted, truthPairs) = graft.core.Checkpoints.par2(
+        () => OracleDump.dump("q25_pred",
+          Dedup.clusterPairs(Dedup.run(images, cfg))),
+        () => OracleDump.dump("q25_truth",
+          tl.join(tr, "group_id").filter(col("a") < col("b"))
+            .select("a", "b")))
       truthPairs
         .join(predicted.withColumn("matched", lit(1)), Seq("a", "b"), "left")
         .agg(sum(when(col("matched").isNotNull, 1L).otherwise(0L)).as("hit"),
@@ -347,15 +356,17 @@ object SparkEntry {
       // total) — materialize the featurize chain once; the table is
       // (id, int-array) sized, ~3 MB at sf0.1
       val (byDoc0, hashes) = SimHashTrainer.featureTable(s, feats)
-      val byDoc = byDoc0.localCheckpoint()
       val hi = hashes.map(_._1); val lo = hashes.map(_._2)
       // attract = the LSH near-dup pairs; repulse = deterministic far pairs
       // (attract pair #i repels doc at rank i%n from doc at rank (i+n/2)%n
       // — rank joins, no driver-side id arrays). Checkpointed: the LSH
-      // dedup otherwise re-runs for the rank-index job and the pair dump
-      val attract = DedupOps.minhashLshDedup(docs, 0.5)
-        .select(col("doc_a").as("a"), col("doc_b").as("b"))
-        .localCheckpoint()
+      // dedup otherwise re-runs for the rank-index job and the pair dump.
+      // byDoc and the LSH pair table are independent — concurrent jobs.
+      val (byDoc, attract) = graft.core.Checkpoints.par2(
+        () => byDoc0.localCheckpoint(),
+        () => DedupOps.minhashLshDedup(docs, 0.5)
+          .select(col("doc_a").as("a"), col("doc_b").as("b"))
+          .localCheckpoint())
       val nDocs = docs.count()
       val ranked = docs.select("doc_id").orderBy("doc_id")
         .rdd.zipWithIndex.map { case (r, i) => (r.getLong(0), i) }
@@ -445,9 +456,11 @@ object SparkEntry {
       // evidence goes through the engine's committed-state reader — a raw
       // recursive listing could pick up .tmp/deferred-delete dirs the
       // engine ignores, letting oracle and engine silently diverge
-      OracleDump.dump("q32_pairs",
-        graft.streaming.StreamingDedup.pairsFromState(s, stateDir).distinct())
-      OracleDump.dump("q32_ids", images.select("image_id"))
+      graft.core.Checkpoints.par2(
+        () => OracleDump.dump("q32_pairs",
+          graft.streaming.StreamingDedup.pairsFromState(s, stateDir)
+            .distinct()),
+        () => OracleDump.dump("q32_ids", images.select("image_id")))
       graft.streaming.StreamingDedup.clustersFromState(s, stateDir)
         .orderBy("image_id")
     }),
@@ -479,9 +492,11 @@ object SparkEntry {
       ingest(part === 1, 1L, 8)
       graft.streaming.StreamingDedup.resizeStateP(s, stateDir, 32)
       ingest(part >= 2, 2L, 32)
-      OracleDump.dump("q34_pairs",
-        graft.streaming.StreamingDedup.pairsFromState(s, stateDir).distinct())
-      OracleDump.dump("q34_ids", images.select("image_id"))
+      graft.core.Checkpoints.par2(
+        () => OracleDump.dump("q34_pairs",
+          graft.streaming.StreamingDedup.pairsFromState(s, stateDir)
+            .distinct()),
+        () => OracleDump.dump("q34_ids", images.select("image_id")))
       graft.streaming.StreamingDedup.clustersFromState(s, stateDir)
         .orderBy("image_id")
     }),
@@ -517,18 +532,23 @@ object SparkEntry {
           batchId = id, stateP = 8, compactEvery = 4)
       ingest(0, 0L)
       ingest(1, 1L)
-      OracleDump.dump("q40_pairs",
-        graft.streaming.StreamingDedup.pairsFromState(s, stateDir).distinct())
-      OracleDump.dump("q40_ids", images.select("image_id"))
       val tl = truth.select(col("group_id"), col("image_id").as("a"))
       val tr = truth.select(col("group_id"), col("image_id").as("b"))
-      val truthPairs = OracleDump.dump("q40_truth",
-        tl.join(tr, "group_id").filter(col("a") < col("b")).select("a", "b"))
-      val idx = OracleDump.dump("q40_index",
-        graft.streaming.StreamingDedup.indexFromState(s, stateDir)
-          .select("band_id", "image_id"))
-      val clusters = graft.streaming.StreamingDedup
-        .clustersFromState(s, stateDir).localCheckpoint()
+      // the five evidence/result materializations over the committed state
+      // are mutually independent — concurrent jobs (guide §2.6)
+      val Seq(_, _, truthPairs, idx, clusters) =
+        graft.core.Checkpoints.parallelRun[DataFrame](Seq(
+          () => OracleDump.dump("q40_pairs", graft.streaming.StreamingDedup
+            .pairsFromState(s, stateDir).distinct()),
+          () => OracleDump.dump("q40_ids", images.select("image_id")),
+          () => OracleDump.dump("q40_truth",
+            tl.join(tr, "group_id").filter(col("a") < col("b"))
+              .select("a", "b")),
+          () => OracleDump.dump("q40_index",
+            graft.streaming.StreamingDedup.indexFromState(s, stateDir)
+              .select("band_id", "image_id")),
+          () => graft.streaming.StreamingDedup
+            .clustersFromState(s, stateDir).localCheckpoint()))
       val la = clusters.select(col("image_id").as("a"), col("cluster_id").as("la"))
       val lb = clusters.select(col("image_id").as("b"), col("cluster_id").as("lb"))
       val hit = truthPairs.join(la, "a").join(lb, "b")
@@ -564,11 +584,14 @@ object SparkEntry {
       val all = images.union(copies).localCheckpoint()
       val normUdf = udf((c: String) =>
         graft.featurize.ImageFeaturizer.normalizeCaption(c))
-      OracleDump.dump("q36_input", all.select(col("image_id"),
-        graft.pipeline.TieredImageDedup
-          .recordSha(col("bytes"), col("caption")).as("record_sha"),
-        normUdf(col("caption")).as("caption_norm")))
-      val res = graft.pipeline.TieredImageDedup.run(all, cfg)
+      // the evidence dump over the input and the cascade itself are
+      // independent — concurrent jobs (guide §2.6)
+      val (_, res) = graft.core.Checkpoints.par2(
+        () => OracleDump.dump("q36_input", all.select(col("image_id"),
+          graft.pipeline.TieredImageDedup
+            .recordSha(col("bytes"), col("caption")).as("record_sha"),
+          normUdf(col("caption")).as("caption_norm"))),
+        () => graft.pipeline.TieredImageDedup.run(all, cfg))
       OracleDump.dump("q36_near", res.nearPairs)
       res.verdicts
     }),
@@ -659,11 +682,13 @@ object SparkEntry {
       val cfg = DedupConfig()
       val (images, _) = OracleDump.sharedCorpus(s, 40, 3, 30)
       val sigs = Dedup.signatures(images, cfg).localCheckpoint()
-      val cands = Dedup.candidates(Dedup.bands(sigs, cfg), cfg).localCheckpoint()
-      val pairs = OracleDump.dump("q45_pairs",
-        Dedup.verified(cands, sigs, cfg)
-          .union(Dedup.substringPairs(sigs, cfg)).distinct())
-      OracleDump.dump("q45_ids", images.select("image_id"))
+      val (cands, ssp) = graft.core.Checkpoints.par2(
+        () => Dedup.candidates(Dedup.bands(sigs, cfg), cfg).localCheckpoint(),
+        () => Dedup.substringPairs(sigs, cfg).localCheckpoint())
+      val (pairs, _) = graft.core.Checkpoints.par2(
+        () => OracleDump.dump("q45_pairs",
+          Dedup.verified(cands, sigs, cfg).union(ssp).distinct()),
+        () => OracleDump.dump("q45_ids", images.select("image_id")))
       graft.ops.MixOps.clusterSplit(Dedup.clusters(images, pairs))
         .orderBy("image_id")
     }),
@@ -691,13 +716,15 @@ object SparkEntry {
       val cfg = DedupConfig()
       val (images, _) = OracleDump.sharedCorpus(s, 40, 3, 30)
       val sigs = Dedup.signatures(images, cfg).localCheckpoint()
-      val cands = Dedup.candidates(Dedup.bands(sigs, cfg), cfg).localCheckpoint()
-      val pairs = OracleDump.dump("q47_pairs",
-        Dedup.verified(cands, sigs, cfg)
-          .union(Dedup.substringPairs(sigs, cfg)).distinct())
-      val sizes = OracleDump.dump("q47_sizes",
-        images.select(col("image_id"),
-          length(col("bytes")).cast("long").as("n_bytes")))
+      val (cands, ssp) = graft.core.Checkpoints.par2(
+        () => Dedup.candidates(Dedup.bands(sigs, cfg), cfg).localCheckpoint(),
+        () => Dedup.substringPairs(sigs, cfg).localCheckpoint())
+      val (pairs, sizes) = graft.core.Checkpoints.par2(
+        () => OracleDump.dump("q47_pairs",
+          Dedup.verified(cands, sigs, cfg).union(ssp).distinct()),
+        () => OracleDump.dump("q47_sizes",
+          images.select(col("image_id"),
+            length(col("bytes")).cast("long").as("n_bytes"))))
       graft.ops.MixOps.dedupReport(Dedup.clusters(images, pairs), sizes)
     }),
     "q48_corpus_build" -> ((s, _) => {
@@ -714,13 +741,15 @@ object SparkEntry {
       val cfg = DedupConfig()
       val (images, _) = OracleDump.sharedCorpus(s, 40, 3, 30)
       val sigs = Dedup.signatures(images, cfg).localCheckpoint()
-      val cands = Dedup.candidates(Dedup.bands(sigs, cfg), cfg).localCheckpoint()
-      val pairs = OracleDump.dump("q48_pairs",
-        Dedup.verified(cands, sigs, cfg)
-          .union(Dedup.substringPairs(sigs, cfg)).distinct())
-      val caps = OracleDump.dump("q48_caps",
-        images.select(col("image_id").as("doc_id"),
-          col("caption").as("text")))
+      val (cands, ssp) = graft.core.Checkpoints.par2(
+        () => Dedup.candidates(Dedup.bands(sigs, cfg), cfg).localCheckpoint(),
+        () => Dedup.substringPairs(sigs, cfg).localCheckpoint())
+      val (pairs, caps) = graft.core.Checkpoints.par2(
+        () => OracleDump.dump("q48_pairs",
+          Dedup.verified(cands, sigs, cfg).union(ssp).distinct()),
+        () => OracleDump.dump("q48_caps",
+          images.select(col("image_id").as("doc_id"),
+            col("caption").as("text"))))
       val hyg = graft.CorpusBuildJob.hygiene(caps, minTokens = 12,
         maxDup5 = 0.75)
       val bench = caps.orderBy("doc_id").limit(2)
@@ -747,12 +776,18 @@ object SparkEntry {
       val cfg = DedupConfig()
       val (images, _) = OracleDump.sharedCorpus(s, 30, 5, 20)
       val sigs = Dedup.signatures(images, cfg).localCheckpoint()
-      val cands = Dedup.candidates(Dedup.bands(sigs, cfg), cfg).localCheckpoint()
-      val pairs = OracleDump.dump("q49_pairs", Dedup.verifiedHamming(cands, cfg))
       val normUdf = udf((c: String) =>
         graft.featurize.ImageFeaturizer.normalizeCaption(c))
-      val caps = OracleDump.dump("q49_caps",
-        images.select(col("image_id"), normUdf(col("caption")).as("caption_norm")))
+      // the candidate→pair chain and the caption normalization dump are
+      // independent — concurrent jobs (guide §2.6)
+      val (pairs, caps) = graft.core.Checkpoints.par2(
+        () => {
+          val cands =
+            Dedup.candidates(Dedup.bands(sigs, cfg), cfg).localCheckpoint()
+          OracleDump.dump("q49_pairs", Dedup.verifiedHamming(cands, cfg))
+        },
+        () => OracleDump.dump("q49_caps", images.select(col("image_id"),
+          normUdf(col("caption")).as("caption_norm"))))
       graft.pipeline.ModalityAudit.captionRewrites(pairs, caps).orderBy("a", "b")
     }),
     "q50_caption_spam" -> ((s, _) => {
@@ -770,13 +805,18 @@ object SparkEntry {
         .withColumn("caption", lit("Stock photo — buy now, best price!"))
       val all = images.union(spam).localCheckpoint()
       val sigs = Dedup.signatures(all, cfg).localCheckpoint()
-      val cands = Dedup.candidates(Dedup.bands(sigs, cfg), cfg).localCheckpoint()
-      val pairs = OracleDump.dump("q50_pairs", Dedup.verifiedHamming(cands, cfg))
-      OracleDump.dump("q50_ids", all.select("image_id"))
       val normUdf = udf((c: String) =>
         graft.featurize.ImageFeaturizer.normalizeCaption(c))
-      val caps = OracleDump.dump("q50_caps",
-        all.select(col("image_id"), normUdf(col("caption")).as("caption_norm")))
+      // candidate→pair chain ∥ id dump ∥ caption dump (guide §2.6)
+      val Seq(pairs, _, caps) = graft.core.Checkpoints.parallelRun[DataFrame](Seq(
+        () => {
+          val cands =
+            Dedup.candidates(Dedup.bands(sigs, cfg), cfg).localCheckpoint()
+          OracleDump.dump("q50_pairs", Dedup.verifiedHamming(cands, cfg))
+        },
+        () => OracleDump.dump("q50_ids", all.select("image_id")),
+        () => OracleDump.dump("q50_caps", all.select(col("image_id"),
+          normUdf(col("caption")).as("caption_norm")))))
       val clusters = Dedup.clusters(all.select("image_id"), pairs)
       graft.pipeline.ModalityAudit.boilerplateCaptions(clusters, caps)
         .orderBy("caption_norm")

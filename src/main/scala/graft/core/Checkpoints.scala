@@ -82,6 +82,8 @@ object Checkpoints {
 
   private final class Scope {
     val owned = scala.collection.mutable.LinkedHashSet.empty[Int]
+    def add(id: Int): Unit = synchronized { owned += id; () }
+    def snapshotIds: Seq[Int] = synchronized { owned.toSeq }
   }
 
   /** The innermost active scope on THIS thread. Thread-local by
@@ -97,7 +99,7 @@ object Checkpoints {
     * created. */
   def ckpt(df: DataFrame): DataFrame = {
     val out = df.localCheckpoint()
-    for (s <- current.value; id <- checkpointRddId(out)) s.owned += id
+    for (s <- current.value; id <- checkpointRddId(out)) s.add(id)
     out
   }
 
@@ -130,10 +132,10 @@ object Checkpoints {
       }
       kept = outs.flatMap(checkpointRddId).toSet
       // kept blocks outlive this scope: the parent scope (if any) owns them
-      current.value.foreach(p => kept.foreach(p.owned += _))
+      current.value.foreach(p => kept.foreach(p.add))
       outs
     } finally {
-      releaseIds(spark, scope.owned.toSeq.filterNot(kept.contains)); ()
+      releaseIds(spark, scope.snapshotIds.filterNot(kept.contains)); ()
     }
   }
 
@@ -143,6 +145,31 @@ object Checkpoints {
   def scopedUnit(spark: SparkSession)(body: => Unit): Unit = {
     val scope = new Scope
     try current.withValue(Some(scope))(body)
-    finally { releaseIds(spark, scope.owned.toSeq); () }
+    finally { releaseIds(spark, scope.snapshotIds); () }
+  }
+
+  /** Run independent materializations CONCURRENTLY inside the calling
+    * thread's checkpoint scope (guide §2.6: Spark's scheduler happily runs
+    * several jobs at once; serial driver calls leave the tail of each job's
+    * stage idle). The active scope is propagated to the worker threads —
+    * `ckpt` calls made by any body register to the SAME scope as the
+    * caller's, so scoped release semantics are identical to running the
+    * bodies serially. Bodies must be independent (no body may consume
+    * another's result). */
+  def parallelRun[A](bodies: Seq[() => A]): Seq[A] = {
+    if (bodies.lengthCompare(1) <= 0) return bodies.map(_())
+    val scope = current.value
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    Await.result(
+      Future.sequence(bodies.map(b =>
+        Future(current.withValue(scope)(b())))), Duration.Inf)
+  }
+
+  /** Two-body [[parallelRun]] with heterogeneous result types. */
+  def par2[A, B](fa: () => A, fb: () => B): (A, B) = {
+    val r = parallelRun[Any](Seq(fa, fb))
+    (r(0).asInstanceOf[A], r(1).asInstanceOf[B])
   }
 }

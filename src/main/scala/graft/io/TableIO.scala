@@ -24,6 +24,10 @@ trait TableIO {
   def writeStage(df: DataFrame, name: String, configHash: String): Unit
   /** The committed stage, if present and built under the same configHash. */
   def readStage(spark: SparkSession, name: String, configHash: String): Option[DataFrame]
+  /** Row count recorded at stage commit, if the backend tracks one — lets
+    * metrics reporting skip a re-count job over the stage table (the
+    * manifest already paid for the count at write time). */
+  def stageRows(name: String, configHash: String): Option[Long] = None
 }
 
 /** Parquet + manifest implementation. Commit protocol: write parquet to
@@ -60,12 +64,23 @@ final class ParquetTableIO(root: String) extends TableIO {
       Some(spark.read.parquet(dir(name).resolve("data").toString))
     } else None
   }
+
+  private val RowsRe = """"rows":(\d+)""".r
+  override def stageRows(name: String, configHash: String): Option[Long] = {
+    val m = manifest(name)
+    if (Files.exists(m)) {
+      val s = Files.readString(m)
+      if (s.contains(s""""configHash":"$configHash""""))
+        RowsRe.findFirstMatchIn(s).map(_.group(1).toLong)
+      else None
+    } else None
+  }
 }
 
 /** Checkpoint-resumable stage chaining: each stage is computed only if its
   * manifest (keyed by the pipeline config hash) is absent, so a re-launched
   * job resumes from the last complete stage boundary (north rule). */
-final class StageRunner(io: TableIO, spark: SparkSession, configHash: String) {
+final class StageRunner(val io: TableIO, spark: SparkSession, configHash: String) {
   private val lineage = scala.collection.mutable.ArrayBuffer.empty[(String, Boolean)]
 
   def stage(name: String)(compute: => DataFrame): DataFrame =

@@ -145,6 +145,19 @@ object EmbeddingOps {
       (h >>> 11).toDouble / (1L << 53).toDouble * 2.0 - 1.0
     }
 
+  /** Per-JVM hyperplane cache: the band UDFs reference the table by its
+    * (planes, dims) KEY instead of capturing the materialized array in the
+    * closure — a 96×8-band table is ~400 KB of doubles, serialized and
+    * re-deserialized with EVERY task otherwise (guide §2: shuffle/ship
+    * metadata, derive the heavy deterministic table where it is used).
+    * Values are bit-identical: the generator is a pure function of the
+    * absolute (plane, dim) index. */
+  private val hyperplaneCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Int), Array[Array[Double]]]()
+  private def cachedHyperplane(planes: Int, dims: Int): Array[Array[Double]] =
+    hyperplaneCache.computeIfAbsent((planes, dims),
+      k => hyperplane(k._1, k._2))
+
   /** Random-hyperplane LSH ANN, structured exactly like the SimHash index:
     * `planes` sign-of-projection bits form an embedding SimHash, banded into
     * (bands × rowsPerBand) single-Long bucket keys (band id packed into the
@@ -242,9 +255,12 @@ object EmbeddingOps {
     requireKeyFits(bands, rowsPerBand)
     // only plane indices < bands·rowsPerBand are ever read, and the
     // generator depends on the absolute index only — sizing the table to
-    // the used prefix keeps identical keys at a fraction of the closure
-    val H = hyperplane(bands * rowsPerBand, dims)
+    // the used prefix keeps identical keys at a fraction of the closure;
+    // the closure captures the (nPlanes, dims) KEY, the table itself is
+    // computed once per JVM (cachedHyperplane)
+    val nPlanes = bands * rowsPerBand
     val keysUdf = udf((v: Seq[Float]) => {
+      val H = cachedHyperplane(nPlanes, dims)
       // fail fast, don't truncate: projecting a wider embedding onto the
       // first `dims` components silently uncorrelates the band keys from
       // the full-vector cosine the verify step (and the exact baseline)
@@ -294,8 +310,9 @@ object EmbeddingOps {
     requireKeyFits(bands, rowsPerBand)
     require(extraProbes >= 0 && extraProbes <= rowsPerBand,
       s"extraProbes $extraProbes must be in [0, rowsPerBand=$rowsPerBand]")
-    val H = hyperplane(bands * rowsPerBand, dims)
+    val nPlanes = bands * rowsPerBand
     val probesUdf = udf((v: Seq[Float]) => {
+      val H = cachedHyperplane(nPlanes, dims)
       require(v.length == dims,
         s"embedding dim ${v.length} != hyperplane dims $dims — pass dims=" +
           s"${v.length} to lshProbeBands")
@@ -384,11 +401,40 @@ object EmbeddingOps {
   def multiProbeCandidates(probes: DataFrame,
       maxBucket: Int = 1000): DataFrame = {
     val exactRows = probes.filter(col("is_exact")).select("bk", "vec_id")
-    val (keptEx, hotEx) = TextOps.splitHotKeys(exactRows, "bk", maxBucket,
+    val prRows = probes.filter(!col("is_exact")).select("bk", "vec_id")
+    // ONE occupancy job for both sides: the exact-row and probe-row hot
+    // sets are per-(bk, side) counts, so a single groupBy(bk, is_exact)
+    // replaces the two separate splitHotKeys aggregate+collect jobs (the
+    // hot criterion per side is unchanged — each side's occupancy counts
+    // only its own rows, exactly as before)
+    val hotRows = probes.groupBy("bk", "is_exact")
+      .agg(count(lit(1)).as("df")).filter(col("df") > maxBucket)
+      .select("bk", "is_exact").collect()
+    def hotDf(keys: Array[Long]): DataFrame = {
+      import scala.jdk.CollectionConverters._
+      broadcast(probes.sparkSession.createDataFrame(
+        keys.toList.map(k => org.apache.spark.sql.Row(k)).asJava,
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("bk",
+            org.apache.spark.sql.types.LongType, nullable = false)))))
+    }
+    def splitBy(rows: DataFrame, keys: Array[Long],
+        label: String): (DataFrame, DataFrame) =
+      if (keys.isEmpty) (rows, rows.limit(0))
+      else {
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          s"$label: split off ${keys.length} keys with occupancy > " +
+            s"$maxBucket (hot-key guard)")
+        val h = hotDf(keys)
+        (rows.join(h, Seq("bk"), "left_anti"),
+          rows.join(h, Seq("bk"), "left_semi"))
+      }
+    val (keptEx, hotEx) = splitBy(exactRows,
+      hotRows.filter(_.getBoolean(1)).map(_.getLong(0)),
       "multiProbeCandidates.exact")
-    val keptPr = TextOps.dropHotKeys(
-      probes.filter(!col("is_exact")).select("bk", "vec_id"),
-      "bk", maxBucket, "multiProbeCandidates.probe")
+    val keptPr = splitBy(prRows,
+      hotRows.filter(r => !r.getBoolean(1)).map(_.getLong(0)),
+      "multiProbeCandidates.probe")._1
     // exact-vs-exact pairs are symmetric, so a < b produces each unordered
     // pair ONCE; probe-vs-exact is not (only one side's key flipped), so it
     // keeps x =!= y + normalize. The split halves the dominant exact-exact

@@ -29,11 +29,27 @@ object MixOps {
     * spec differs across engines). Order-sensitive, so "img_…_01" and
     * "img_…_10" land independently. */
   def posHash(key: Column, m: Long): Column = {
-    val chars = filter(split(key, ""), c => length(c) === 1)
-    val codes = transform(chars, c => ascii(c).cast("long"))
-    pmod(aggregate(zip_with(codes,
-      sequence(lit(1L), greatest(size(codes).cast("long"), lit(1L))),
-      (c, i) => c * i), lit(0L), (a, x) => a + x), lit(m))
+    // compiled single-pass UDF, same rationale and identical arithmetic as
+    // TextOps.fingerprintUdf (the interpreted HOF chain split one string
+    // per character per row); null key → null, zero characters → null —
+    // exactly what the HOF form produced (its sequence/zip padded a null
+    // into the sum). The DuckDB oracles re-derive the same definition.
+    val u = udf((s: String) => {
+      if (s == null) None: Option[Long]
+      else {
+        var pos = 0L; var idx = 1L
+        var i = 0
+        while (i < s.length) {
+          val cp = s.codePointAt(i)
+          pos += idx * cp
+          idx += 1
+          i += Character.charCount(cp)
+        }
+        if (idx == 1L) None: Option[Long]
+        else Some(java.lang.Math.floorMod(pos, m))
+      }
+    })
+    u(key)
   }
 
   /** Leakage-free train/val/test split: every member of a near-dup cluster
@@ -49,11 +65,15 @@ object MixOps {
   def clusterSplit(clusters: DataFrame, nBuckets: Int = 10,
       trainUpTo: Int = 8, valUpTo: Int = 9,
       m: Long = 1000003L): DataFrame = {
+    // bucket lands in its own projection so the (non-cheap) hash evaluates
+    // ONCE per row instead of once per `when` branch referencing it
     val bucket = pmod(posHash(col("cluster_id"), m), lit(nBuckets.toLong))
-    clusters.withColumn("split",
-      when(bucket < trainUpTo, lit("train"))
-        .when(bucket < valUpTo, lit("val"))
-        .otherwise(lit("test")))
+    clusters.withColumn("__split_bucket", bucket)
+      .withColumn("split",
+        when(col("__split_bucket") < trainUpTo, lit("train"))
+          .when(col("__split_bucket") < valUpTo, lit("val"))
+          .otherwise(lit("test")))
+      .drop("__split_bucket")
   }
 
   /** Deterministic per-stratum quota sample: the `k` docs per `source` with

@@ -83,18 +83,40 @@ object TextOps {
     * code(ch_i)) over the raw characters — an order-sensitive rolling
     * fingerprint expressible exactly in both engines (SURVEY.md §2.9 C6
     * caveat: the hash spec must be engine-portable, so the fingerprint is
-    * defined arithmetically, not via a library hash). */
-  def fingerprint(docs: DataFrame): DataFrame = {
-    val chars = filter(split(col("text"), ""), c => length(c) === 1)
-    val codes = transform(chars, c => ascii(c).cast("long"))
-    docs.select(
-      col("doc_id"),
-      pmod(aggregate(zip_with(codes,
-        sequence(lit(1L), greatest(size(codes).cast("long"), lit(1L))),
-        (c, i) => c * i), lit(0L), (a, x) => a + x), lit(1000000007L)).as("fp_pos"),
-      aggregate(codes, lit(0L), (a, c) => a + c).as("fp_sum")
-    ).orderBy("doc_id")
-  }
+    * defined arithmetically, not via a library hash).
+    *
+    * Implementation: one compiled single-pass UDF over the code points —
+    * the previous split-per-character + `zip_with`/`aggregate` HOF chain
+    * was interpreted (CodegenFallback) and allocated one single-char
+    * string per character per row (r5 verdict #3 follow-up; the
+    * `shingles3Udf` rationale at the top of this file). Arithmetic is
+    * identical, including the null/empty edges the HOF form had: null
+    * text → (null, null); zero characters → (null, 0) — the HOF chain's
+    * `sequence(1, greatest(size, 1))` zip padded a null into the
+    * positional sum there. The DuckDB oracle (q14) mirrors the same
+    * definition and is unchanged. */
+  val fingerprintUdf = udf((text: String) => {
+    if (text == null) (None: Option[Long], None: Option[Long])
+    else {
+      var pos = 0L; var sum = 0L; var idx = 1L
+      var i = 0
+      while (i < text.length) {
+        val cp = text.codePointAt(i)
+        pos += idx * cp
+        sum += cp
+        idx += 1
+        i += Character.charCount(cp)
+      }
+      if (idx == 1L) (None: Option[Long], Some(0L))
+      else (Some(java.lang.Math.floorMod(pos, 1000000007L)), Some(sum))
+    }
+  })
+
+  def fingerprint(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), fingerprintUdf(col("text")).as("fp"))
+      .select(col("doc_id"), col("fp._1").as("fp_pos"),
+        col("fp._2").as("fp_sum"))
+      .orderBy("doc_id")
 
   /** All document pairs with word-3-gram Jaccard >= `minJaccard`, computed
     * the scalable way: explode shingles, equi-join on the shingle, count
@@ -270,8 +292,13 @@ object TextOps {
       .select("doc_id", "bench_id").distinct()
     val jacc = udf((x: Seq[Long], y: Seq[Long]) =>
       graft.core.MinHash.exactJaccard(x.toSet, y.toSet))
-    cands
-      .join(ts.select(col("doc_id"), col("sh")), "doc_id")
+    // candidates (contamination-bounded, tiny) broadcast against the
+    // training sketch table — not the other way around: `cands.join(ts)`
+    // planned a full shuffle of every training doc's shingle set unless AQE
+    // happened to convert it, contradicting the no-training-side-shuffle
+    // scale shape documented above (r5 ADVICE)
+    ts.select(col("doc_id"), col("sh"))
+      .join(broadcast(cands), "doc_id")
       .join(broadcast(bs.select(col("doc_id").as("bench_id"),
         col("sh").as("bench_sh"))), "bench_id")
       .withColumn("jacc", round(jacc(col("sh"), col("bench_sh")), 4))

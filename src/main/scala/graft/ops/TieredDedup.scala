@@ -98,8 +98,14 @@ object TieredDedup {
       // (the operator's own scope materialized it and handed it to this
       // one) — re-checkpointing would double the pair table's blocks ----
       val nearP = DedupOps.minhashLshDedup(surv1, minJaccard)
-      val lab2 = components(surv1.select("doc_id"),
-        nearP.select(col("doc_a").as("a"), col("doc_b").as("b")))
+      // checkpointed: the label table's singleton leg (vertices anti-join)
+      // chains back through the whole tier-1 lineage, and lab2 feeds THREE
+      // consumers (t2, surv2 → embedding frontier, and through surv2 the
+      // tier-3 vertex set) — without this each consumer re-executes the
+      // anti-join chain per action (measured: the q39 tier-3 fixed cost was
+      // dominated by exactly these recomputes). Same for lab3 below.
+      val lab2 = Checkpoints.ckpt(components(surv1.select("doc_id"),
+        nearP.select(col("doc_a").as("a"), col("doc_b").as("b"))))
       val t2 = lab2.filter(col("doc_id") =!= col("canonical_id"))
         .select(col("doc_id"), lit(2).as("tier"), col("canonical_id"))
       val surv2 = lab2.filter(col("doc_id") === col("canonical_id"))
@@ -139,8 +145,8 @@ object TieredDedup {
         EmbeddingOps.cosinePairs(embSubC, minCos)
       }
       val semPC = Checkpoints.ckpt(semP)
-      val lab3 = components(surv2,
-        semPC.select(col("vec_a").as("a"), col("vec_b").as("b")))
+      val lab3 = Checkpoints.ckpt(components(surv2,
+        semPC.select(col("vec_a").as("a"), col("vec_b").as("b"))))
       val t3 = lab3.filter(col("doc_id") =!= col("canonical_id"))
         .select(col("doc_id"), lit(3).as("tier"), col("canonical_id"))
       val kept = lab3.filter(col("doc_id") === col("canonical_id"))

@@ -434,12 +434,16 @@ object Dedup {
       // checkpoint: `verified` consumes candidates on two branches (Hamming
       // accept + minhash-jaccard remainder) and Catalyst does not reuse
       // common subplans across DataFrame branches — without this the whole
-      // band-sort-window DAG executes twice
-      val cands = candidatesMaterialized(candidateBands(sigs, cfg), cfg)
+      // band-sort-window DAG executes twice. The substring pass depends
+      // only on the signatures, so it materializes CONCURRENTLY with the
+      // candidate job (guide §2.6) instead of serially inside the
+      // clustering action.
+      val (cands, ssp) = graft.core.Checkpoints.par2(
+        () => candidatesMaterialized(candidateBands(sigs, cfg), cfg),
+        () => graft.core.Checkpoints.ckpt(substringPairs(sigs, cfg)))
       // no .distinct() here: ConnectedComponents symmetrizes + distincts the
       // edge set anyway — one shuffle instead of two
-      val pairs = verified(cands, sigs, cfg)
-        .union(substringPairs(sigs, cfg))
+      val pairs = verified(cands, sigs, cfg).union(ssp)
       clusters(images, pairs)
     }
 

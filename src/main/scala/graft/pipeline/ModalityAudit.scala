@@ -46,11 +46,19 @@ object ModalityAudit {
       col("caption_norm").as("cap_b"))
     pairs.join(ca, "a").join(cb, "b")
       .filter(col("cap_a") =!= col("cap_b"))
+      // token arrays computed ONCE per side in a projection: the split/
+      // distinct chain is an interpreted HOF with no common-subexpression
+      // elimination, so inlining tokens() into both array_intersect and
+      // array_union evaluated each caption's tokenization four times per
+      // row (r5 verdict #3). CollapseProject keeps non-cheap multi-use
+      // aliases in their own projection, so these stay single evaluations.
+      .withColumn("tok_a", tokens(col("cap_a")))
+      .withColumn("tok_b", tokens(col("cap_b")))
       .select(col("a"), col("b"),
-        (size(array_intersect(tokens(col("cap_a")), tokens(col("cap_b"))))
+        (size(array_intersect(col("tok_a"), col("tok_b")))
           .cast("double") /
-          greatest(size(array_union(tokens(col("cap_a")),
-            tokens(col("cap_b")))), lit(1))).as("cap_jaccard"))
+          greatest(size(array_union(col("tok_a"), col("tok_b"))),
+            lit(1))).as("cap_jaccard"))
   }
 
   /** Boilerplate (spam) captions: one normalized caption shared across

@@ -107,7 +107,10 @@ object TieredImageDedup {
       Dedup.candidatesMaterialized(Dedup.candidateBands(sigs, cfg), cfg)
     val nearPairs = Checkpoints.ckpt(
       Dedup.verified(cands, sigs, cfg).distinct())
-    val lab2 = components(spark, sigs.select("image_id"), nearPairs)
+    // checkpointed (as in TieredDedup): the label table's singleton leg
+    // re-executes the vertices lineage per consumer otherwise
+    val lab2 = Checkpoints.ckpt(
+      components(spark, sigs.select("image_id"), nearPairs))
     val t2 = lab2.filter(col("image_id") =!= col("canonical_id"))
       .select(col("image_id"), lit(2).as("tier"), col("canonical_id"))
     val surv2 = lab2.filter(col("image_id") === col("canonical_id"))
@@ -124,8 +127,8 @@ object TieredImageDedup {
       .unionByName(nullByteCaps)
     val subPairs = Checkpoints.ckpt(SubstringDup.containedPairs(spark,
       capRows, cfg.substringWindow))
-    val lab3raw = components(spark,
-      surv2.unionByName(nullBytes.select("image_id")), subPairs)
+    val lab3raw = Checkpoints.ckpt(components(spark,
+      surv2.unionByName(nullBytes.select("image_id")), subPairs))
     // canonical RE-ELECTION: a mixed component (decodable + undecodable
     // members) must keep a record that still HAS image bytes — blind
     // min-id election could crown a null-bytes row and drop the only
@@ -139,8 +142,8 @@ object TieredImageDedup {
       .groupBy("canonical_id")
       .agg(coalesce(min(when(col("is_null").isNull, col("image_id"))),
         min(col("image_id"))).as("canonical2"))
-    val lab3 = lab3raw.join(elected, "canonical_id")
-      .select(col("image_id"), col("canonical2").as("canonical_id"))
+    val lab3 = Checkpoints.ckpt(lab3raw.join(elected, "canonical_id")
+      .select(col("image_id"), col("canonical2").as("canonical_id")))
     val t3 = lab3.filter(col("image_id") =!= col("canonical_id"))
       .select(col("image_id"), lit(3).as("tier"), col("canonical_id"))
     val kept = lab3.filter(col("image_id") === col("canonical_id"))

@@ -702,30 +702,36 @@ object StreamingDedup {
       else Dedup.signatures(survivors, cfg))
     val sigs =
       if (cfg.bandProbes > 0) sigsAll.drop("margins") else sigsAll
-    val newBands = graft.core.Checkpoints.ckpt(Dedup.bands(sigs, cfg))
+    // the four frames derived from the materialized signatures (band
+    // explode, probe rows, substring anchors/windows) are mutually
+    // independent — materialize them as CONCURRENT jobs (guide §2.6): each
+    // is a small job whose tail would otherwise leave the executors idle,
+    // and per-batch wall is the max of the four instead of their sum. The
+    // scope-aware runner keeps the checkpoint-release contract identical.
+    val w = cfg.substringWindow
+    val newTexts = sigs.select(col("image_id").as("id"),
+      col("caption_norm").as("text"))
+    val parallelParts = graft.core.Checkpoints.parallelRun[DataFrame](Seq(
+      () => graft.core.Checkpoints.ckpt(Dedup.bands(sigs, cfg)),
+      () => if (cfg.bandProbes > 0)
+        graft.core.Checkpoints.ckpt(Dedup.probeBands(sigsAll, cfg))
+      else null,
+      () => graft.core.Checkpoints.ckpt(SubstringDup.anchorTable(newTexts, w)),
+      () => graft.core.Checkpoints.ckpt(SubstringDup.windowTable(newTexts, w))))
+    val newBands = parallelParts(0)
     // exact + probe rows: everything this batch PROBES with (per-band
     // flipped-key rows collide with stored exact keys one bit-flip away)
     val probeSet =
-      if (cfg.bandProbes > 0)
-        newBands.unionByName(
-          graft.core.Checkpoints.ckpt(Dedup.probeBands(sigsAll, cfg)))
+      if (cfg.bandProbes > 0) newBands.unionByName(parallelParts(1))
       else newBands
-    phase("featurize+bands")
+    val newAnch = parallelParts(2)
+    val newWins = parallelParts(3)
+    phase("featurize+bands+substr tables")
     // replay: withdraw this batch's ONE commit marker BEFORE touching its
     // files, so a concurrent clustersFromState never reads mid-overwrite —
     // and never sees some tables' rows without the others'
     val marker = commitMarker(rootPath, batchId)
     if (fsRoot.exists(marker)) { fsRoot.delete(marker, false); () }
-    // incremental substring tables for the new rows (needed now: their keys
-    // feed the combined touched-partition job)
-    val w = cfg.substringWindow
-    val newTexts = sigs.select(col("image_id").as("id"),
-      col("caption_norm").as("text"))
-    val newAnch = graft.core.Checkpoints.ckpt(
-      SubstringDup.anchorTable(newTexts, w))
-    val newWins = graft.core.Checkpoints.ckpt(
-      SubstringDup.windowTable(newTexts, w))
-    phase("substring tables")
     val noneTouched = Map("idx" -> Set.empty[Int], "anch" -> Set.empty[Int],
       "wins" -> Set.empty[Int])
     // ONE job computes every prune set derivable from the new rows alone
@@ -737,39 +743,47 @@ object StreamingDedup {
         ("anch", newWins, Seq(col("k"))), // anchors pruned by new window keys
         ("wins", newAnch, Seq(col("k")))), stateP)
     phase("touched partitions")
-    // bucket probe, two levels: (1) directory prune — only base partitions
-    // holding a bucket this batch touches (exact OR probe key) are even
-    // listed; (2) exact left-semi on the bucket key
-    val (oldBands0, idxStats) = readState(spark, indexPath, newBands.schema,
-      self, Some(touched0("idx")), metrics)
-    val touched = probeSet.select("band_id", "band_key").distinct()
-    val relevantOld0 = oldBands0
-      .join(touched, Seq("band_id", "band_key"), "left_semi")
-    // metrics mode materializes the (bucket-pruned, so small) probe result
-    // once, making the probed-row count a scan of local blocks instead of a
-    // recomputation of the state read + semi-join
-    val relevantOld =
-      if (metrics) graft.core.Checkpoints.ckpt(relevantOld0) else relevantOld0
-    val relevant = relevantOld.union(probeSet)
-    val cands = Dedup.candidatesMaterialized(relevant, cfg)
-    phase("index probe+candidates")
-    // incremental substring pass: only joins touching a NEW row — new
-    // anchors vs all windows (new text contained in anything) plus old
-    // anchors vs new windows (anything contained in new text). Anchor and
-    // window hash tables are state, so old texts are never re-hashed; the
-    // equi-join key is `k`, so old-side reads prune to the partitions of
-    // the NEW side's keys.
-    val (oldAnch, anchStats) = readState(spark, anchPath, newAnch.schema, self,
-      Some(touched0("anch")), metrics)
-    val (oldWins, winStats) = readState(spark, winsPath, newWins.schema, self,
-      Some(touched0("wins")), metrics)
-    val ssCands = graft.core.Checkpoints.ckpt(
-      newAnch.join(oldWins.union(newWins), "k")
-        .union(oldAnch.join(newWins, "k"))
-        .filter(col("a") =!= col("b"))
-        .select(col("a"), col("b"))
-        .distinct())
-    phase("substring candidates")
+    // the band-index candidate chain and the substring candidate chain are
+    // independent until the verify stage — run them as concurrent jobs
+    // (guide §2.6), same frames and checkpoints as the serial form
+    val ((relevantOld, idxStats, cands), (anchStats, winStats, ssCands)) =
+      graft.core.Checkpoints.par2(
+        () => {
+          // bucket probe, two levels: (1) directory prune — only base
+          // partitions holding a bucket this batch touches (exact OR probe
+          // key) are even listed; (2) exact left-semi on the bucket key
+          val (oldBands0, idxStats) = readState(spark, indexPath,
+            newBands.schema, self, Some(touched0("idx")), metrics)
+          val touched = probeSet.select("band_id", "band_key").distinct()
+          val relevantOld0 = oldBands0
+            .join(touched, Seq("band_id", "band_key"), "left_semi")
+          // metrics mode materializes the (bucket-pruned, so small) probe
+          // result once, making the probed-row count a scan of local blocks
+          // instead of a recomputation of the state read + semi-join
+          val relevantOld = if (metrics)
+            graft.core.Checkpoints.ckpt(relevantOld0) else relevantOld0
+          val relevant = relevantOld.union(probeSet)
+          (relevantOld, idxStats, Dedup.candidatesMaterialized(relevant, cfg))
+        },
+        () => {
+          // incremental substring pass: only joins touching a NEW row — new
+          // anchors vs all windows (new text contained in anything) plus old
+          // anchors vs new windows (anything contained in new text). Anchor
+          // and window hash tables are state, so old texts are never
+          // re-hashed; the equi-join key is `k`, so old-side reads prune to
+          // the partitions of the NEW side's keys.
+          val (oldAnch, anchStats) = readState(spark, anchPath, newAnch.schema,
+            self, Some(touched0("anch")), metrics)
+          val (oldWins, winStats) = readState(spark, winsPath, newWins.schema,
+            self, Some(touched0("wins")), metrics)
+          (anchStats, winStats, graft.core.Checkpoints.ckpt(
+            newAnch.join(oldWins.union(newWins), "k")
+              .union(oldAnch.join(newWins, "k"))
+              .filter(col("a") =!= col("b"))
+              .select(col("a"), col("b"))
+              .distinct()))
+        })
+    phase("index+substring candidates")
     // old signatures: the MinHash verify and the substring contains-check
     // only ever dereference ids that appear in a candidate pair — prune the
     // signature read to exactly those ids' partitions
@@ -811,8 +825,15 @@ object StreamingDedup {
       import spark.implicits._
       val st = idxStats + anchStats + winStats + sigStats + hashStats
       // every counted frame is localCheckpointed — counts scan materialized
-      // local blocks, never recompute pipeline work
-      val probed = relevantOld.count()
+      // local blocks, never recompute pipeline work; the five counts are
+      // independent scans, so they run as concurrent jobs
+      val Seq(probed, newRows, exactDropped2, candCount, pairCount) =
+        graft.core.Checkpoints.parallelRun[Long](Seq(
+          () => relevantOld.count(),
+          () => sigs.count(),
+          () => labeledNew.filter(col("image_id") =!= col("canon")).count(),
+          () => cands.count(),
+          () => batchPairs.count()))
       // 0.0 on the first batch (no state, nothing to prune — no prune job)
       val touchedFrac =
         if (stateP > 0) touched0("idx").size.toDouble / stateP else 1.0
@@ -823,11 +844,8 @@ object StreamingDedup {
         recommendedStateP(fsRoot.getContentSummary(b).getLength, stateP))
         .getOrElse(stateP)
       val wallMs = (System.nanoTime() - tWall0) / 1000000L
-      // labeledNew is checkpointed — the exact-tier count scans local blocks
-      val exactDropped =
-        labeledNew.filter(col("image_id") =!= col("canon")).count()
-      Seq((batchId, sigs.count(), exactDropped, probed,
-          cands.count(), batchPairs.count(), st.filesRead, st.filesTotal,
+      Seq((batchId, newRows, exactDropped2, probed,
+          candCount, pairCount, st.filesRead, st.filesTotal,
           touchedFrac, stateP, recP, wallMs))
         .toDF("batch_id", "new_rows", "exact_dropped", "index_rows_probed",
           "candidate_pairs", "pairs_appended",
