@@ -141,9 +141,13 @@ object QProbeR6 {
         pairDf.withColumn("attract", col("pair_set") === "attract")
           .select("a", "b", "attract"))
       val hi = hashes.map(_._1); val lo = hashes.map(_._2)
-      val w = t("q29.train") {
-        SimHashTrainer.train(spark, Right(resolved), hi, lo, maxIters = 50)
+      println(s"QPROBE q29.distinct_features ${hashes.length}")
+      val stats = t("q29.train") {
+        SimHashTrainer.trainWithStats(spark, Right(resolved), hi, lo,
+          maxIters = 50)
       }
+      println(s"QPROBE q29.train_evals ${stats.evals} loss ${stats.loss}")
+      val w = stats.weights
       val wm = SimHashTrainer.weightMap(hashes, w)
       val bHashes = spark.sparkContext.broadcast(hashes)
       def sigFor(phase: String, weights: Map[Long, Double]) = {

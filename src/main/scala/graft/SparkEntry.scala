@@ -368,12 +368,15 @@ object SparkEntry {
           .select(col("doc_a").as("a"), col("doc_b").as("b"))
           .localCheckpoint())
       val nDocs = docs.count()
-      val ranked = docs.select("doc_id").orderBy("doc_id")
-        .rdd.zipWithIndex.map { case (r, i) => (r.getLong(0), i) }
-        .toDF("rid", "rank")
-      val attractIdx = attract.orderBy("a", "b")
-        .rdd.zipWithIndex.map { case (r, i) => (r.getLong(0), r.getLong(1), i) }
-        .toDF("a", "b", "i")
+      // the two rank-index constructions are independent (zipWithIndex runs
+      // its partition-count job eagerly) — concurrent jobs
+      val (ranked, attractIdx) = graft.core.Checkpoints.par2(
+        () => docs.select("doc_id").orderBy("doc_id")
+          .rdd.zipWithIndex.map { case (r, i) => (r.getLong(0), i) }
+          .toDF("rid", "rank"),
+        () => attract.orderBy("a", "b")
+          .rdd.zipWithIndex.map { case (r, i) => (r.getLong(0), r.getLong(1), i) }
+          .toDF("a", "b", "i"))
       val repulse = attractIdx
         .join(ranked.select(col("rank").as("r1"), col("rid").as("ra")),
           pmod(col("i"), lit(nDocs)) === col("r1"))
@@ -755,9 +758,13 @@ object SparkEntry {
       val bench = caps.orderBy("doc_id").limit(2)
       val cont = TextOps.decontaminate(caps, bench, n = 5)
       // the opt-in near-match rule (CorpusBuildJob fuzzyMinJaccard), also
-      // re-derived by the oracle: word-3-gram Jaccard >= 0.5 vs the bench
-      val fuzzy = TextOps.fuzzyDecontaminate(caps, bench, 0.5)
-      graft.CorpusBuildJob.assemble(Dedup.clusters(images, pairs),
+      // re-derived by the oracle: word-3-gram Jaccard >= 0.5 vs the bench.
+      // The clustering (eager CC) and the fuzzy rule's sketch
+      // materializations are independent — concurrent jobs.
+      val (clusters48, fuzzy) = graft.core.Checkpoints.par2(
+        () => Dedup.clusters(images, pairs),
+        () => TextOps.fuzzyDecontaminate(caps, bench, 0.5))
+      graft.CorpusBuildJob.assemble(clusters48,
         hyg.filter(col("keep")).select(col("doc_id").as("image_id")),
         cont.select(col("doc_id").as("image_id"))
           .union(fuzzy.select(col("doc_id").as("image_id"))),

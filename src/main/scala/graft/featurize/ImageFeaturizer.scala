@@ -38,8 +38,10 @@ object ImageFeaturizer {
   }
 
   /** Caption token n-gram shingles as 64-bit hashes (MinHash input). */
-  def captionShingles(c: String, n: Int): Array[Long] = {
-    val t = tokens(c)
+  def captionShingles(c: String, n: Int): Array[Long] =
+    captionShinglesOf(tokens(c), n)
+
+  private def captionShinglesOf(t: Array[String], n: Int): Array[Long] = {
     if (t.length < n) {
       if (t.isEmpty) Array.empty
       else Array(HashFamily.stringHash(t.mkString(" ")))
@@ -53,8 +55,10 @@ object ImageFeaturizer {
   /** Salient numeric tokens of a caption — the immediate-operand analog,
     * with the reference's plausibility filter F2
     * (`flowgraphwithinstructionsfeaturegenerator.cpp:66-75`). */
-  def numericTokens(c: String): Array[Long] =
-    tokens(c).flatMap { t =>
+  def numericTokens(c: String): Array[Long] = numericTokensOf(tokens(c))
+
+  private def numericTokensOf(toks: Array[String]): Array[Long] =
+    toks.flatMap { t =>
       if (t.nonEmpty && t.forall(_.isDigit))
         try {
           val v = java.lang.Long.parseLong(t)
@@ -69,27 +73,35 @@ object ImageFeaturizer {
     * tokens (numeric class, 4.0) — the image instantiation of the reference's
     * graphlet/mnemonic/immediate trio. */
   def features(bytes: Array[Byte], caption: String,
+      cfg: FeaturizeConfig): Seq[Feat] =
+    featuresOf(bytes, tokens(caption), cfg)
+
+  private def featuresOf(bytes: Array[Byte], t: Array[String],
       cfg: FeaturizeConfig): Seq[Feat] = {
     val img = ImageCodec.decode(bytes)
     val out = scala.collection.mutable.ArrayBuffer.empty[Feat]
     ImageCodec.blockShingles(img).foreach { s =>
       out += U64Feat(s, WeightClass.Structural)
     }
-    val t = tokens(caption)
     var i = 0
     while (i + cfg.captionNgram <= t.length) {
       out += Tuple3Feat(t(i), t(i + 1), t(i + 2))
       i += 1
     }
-    numericTokens(caption).foreach(v => out += U64Feat(v, WeightClass.Numeric))
+    numericTokensOf(t).foreach(v => out += U64Feat(v, WeightClass.Numeric))
     out.toSeq
   }
 
+  // tokenize ONCE per row: features (3-grams + numeric filter) and the
+  // MinHash shingles all consume the same normalized token array — the
+  // previous per-consumer `tokens(caption)` calls re-ran normalize+split
+  // four times per record inside the hot decode projection
   def signature(bytes: Array[Byte], caption: String,
       cfg: FeaturizeConfig = FeaturizeConfig()): Signature = {
-    val (hi, lo) = SimHash.simhash128(features(bytes, caption, cfg), cfg.simhash)
+    val t = tokens(caption)
+    val (hi, lo) = SimHash.simhash128(featuresOf(bytes, t, cfg), cfg.simhash)
     val sketch = MinHash.sketch(
-      captionShingles(caption, cfg.captionNgram), cfg.minhashK)
+      captionShinglesOf(t, cfg.captionNgram), cfg.minhashK)
     Signature(hi, lo, sketch)
   }
 
@@ -97,10 +109,11 @@ object ImageFeaturizer {
     * same resolve + fold, spec-pinned). */
   def signatureWithMargins(bytes: Array[Byte], caption: String,
       cfg: FeaturizeConfig = FeaturizeConfig()): SignatureM = {
+    val t = tokens(caption)
     val (hi, lo, m) =
-      SimHash.simhash128WithMargins(features(bytes, caption, cfg), cfg.simhash)
+      SimHash.simhash128WithMargins(featuresOf(bytes, t, cfg), cfg.simhash)
     val sketch = MinHash.sketch(
-      captionShingles(caption, cfg.captionNgram), cfg.minhashK)
+      captionShinglesOf(t, cfg.captionNgram), cfg.minhashK)
     SignatureM(hi, lo, sketch, m)
   }
 }

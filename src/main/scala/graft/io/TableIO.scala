@@ -46,7 +46,10 @@ final class ParquetTableIO(root: String) extends TableIO {
     // torn new-config data, and a later run under the old configHash
     // would pass the manifest check and silently adopt it
     Files.deleteIfExists(manifest(name))
-    df.write.mode("overwrite").parquet(data.toString)
+    // zstd: markedly better ratio than the snappy default at similar read
+    // speed (guide §6) — stage tables are the long-lived bytes of a build
+    df.write.option("compression", "zstd").mode("overwrite")
+      .parquet(data.toString)
     val rows = df.sparkSession.read.parquet(data.toString).count()
     val tmp = dir(name).resolve(".MANIFEST.tmp")
     Files.writeString(tmp,

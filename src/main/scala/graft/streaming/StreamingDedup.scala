@@ -444,9 +444,11 @@ object StreamingDedup {
         all.withColumn("p", partCol(keys, stateP))
           .repartition(col("p"))
           .sortWithinPartitions(col("p") +: sortCols: _*)
-          .write.partitionBy("p").mode("overwrite").parquet(tmp.toString)
+          .write.option("compression", "zstd")
+          .partitionBy("p").mode("overwrite").parquet(tmp.toString)
       case None =>
-        all.coalesce(4).write.mode("overwrite").parquet(tmp.toString)
+        all.coalesce(4).write.option("compression", "zstd")
+          .mode("overwrite").parquet(tmp.toString)
     }
     markDone(fs, tmp)
     val dest = new Path(table, s"base_$newId")
@@ -634,7 +636,6 @@ object StreamingDedup {
       println(f"STREAMPROBE batch=$batchId $name%-28s ${(t - tPhase) / 1e9}%.3f s")
       tPhase = t
     }
-    if (batch.isEmpty) return
     val (fsRoot, rootPath) = fileSystem(spark, stateDir)
     checkStateP(fsRoot, rootPath, stateP)
     val indexPath = s"$stateDir/index"
@@ -673,6 +674,10 @@ object StreamingDedup {
     val newHashes = graft.core.Checkpoints.ckpt(batch.select(col("image_id"),
       graft.pipeline.TieredImageDedup.recordSha(col("bytes"), col("caption"))
         .as("record_sha")))
+    // empty-batch early-out AFTER the hash pass: probing emptiness on the
+    // materialized (local-block) frame folds the previous separate
+    // source-scan isEmpty job into the checkpoint the tier needs anyway
+    if (newHashes.isEmpty) return
     val hashTouched =
       if (!hasState) Set.empty[Int]
       else touchedPartitions(newHashes, Seq(col("record_sha")), stateP)
@@ -818,7 +823,8 @@ object StreamingDedup {
       newWins -> batchDir(winsPath),
       keeperHashes -> batchDir(hashPath))
     Await.result(Future.sequence(writes.map { case (df, dir) =>
-      Future(df.coalesce(4).write.mode("overwrite").parquet(dir))
+      Future(df.coalesce(4).write.option("compression", "zstd")
+        .mode("overwrite").parquet(dir))
     }), Duration.Inf)
     phase("state writes")
     if (metrics) {
