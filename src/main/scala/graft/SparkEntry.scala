@@ -354,19 +354,20 @@ object SparkEntry {
           col("h._2").as("feature_lo"))
       // byDoc feeds pair resolution AND both signature passes (4 consumers
       // total) — materialize the featurize chain once; the table is
-      // (id, int-array) sized, ~3 MB at sf0.1
-      val (byDoc0, hashes) = SimHashTrainer.featureTable(s, feats)
-      val hi = hashes.map(_._1); val lo = hashes.map(_._2)
-      // attract = the LSH near-dup pairs; repulse = deterministic far pairs
-      // (attract pair #i repels doc at rank i%n from doc at rank (i+n/2)%n
-      // — rank joins, no driver-side id arrays). Checkpointed: the LSH
-      // dedup otherwise re-runs for the rank-index job and the pair dump.
-      // byDoc and the LSH pair table are independent — concurrent jobs.
-      val (byDoc, attract) = graft.core.Checkpoints.par2(
-        () => byDoc0.localCheckpoint(),
+      // (id, int-array) sized, ~3 MB at sf0.1. After the id table lands,
+      // the hash collect, the per-doc vector build, and the LSH pair table
+      // are three independent jobs — concurrent (guide §2.6).
+      val ids = SimHashTrainer.featureIdTable(feats)
+      val r29 = graft.core.Checkpoints.parallelRun[Any](Seq(
+        () => SimHashTrainer.collectHashes(ids),
+        () => SimHashTrainer.featureVectors(feats, ids).localCheckpoint(),
         () => DedupOps.minhashLshDedup(docs, 0.5)
           .select(col("doc_a").as("a"), col("doc_b").as("b"))
-          .localCheckpoint())
+          .localCheckpoint()))
+      val hashes = r29(0).asInstanceOf[Array[(Long, Long)]]
+      val byDoc = r29(1).asInstanceOf[DataFrame]
+      val attract = r29(2).asInstanceOf[DataFrame]
+      val hi = hashes.map(_._1); val lo = hashes.map(_._2)
       val nDocs = docs.count()
       // the two rank-index constructions are independent (zipWithIndex runs
       // its partition-count job eagerly) — concurrent jobs

@@ -328,14 +328,25 @@ object SimHashTrainer {
     */
   def featureTable(spark: SparkSession,
       funcFeats: DataFrame): (DataFrame, Array[(Long, Long)]) = {
-    val ids = graft.refio.RefFormats.featureIds(funcFeats).localCheckpoint()
-    val hashes = ids.orderBy("feature_id").collect()
-      .map(r => (r.getLong(0), r.getLong(1)))
-    val byFunc = funcFeats.join(ids, Seq("feature_hi", "feature_lo"))
+    val ids = featureIdTable(funcFeats)
+    (featureVectors(funcFeats, ids), collectHashes(ids))
+  }
+
+  /** The materialized global feature-id table — split out so callers can
+    * overlap [[collectHashes]] with other jobs (the collect and the
+    * [[featureVectors]] groupBy are independent consumers of it). */
+  def featureIdTable(funcFeats: DataFrame): DataFrame =
+    graft.refio.RefFormats.featureIds(funcFeats).localCheckpoint()
+
+  /** Per-record sorted feature-id vectors from the id table. */
+  def featureVectors(funcFeats: DataFrame, ids: DataFrame): DataFrame =
+    funcFeats.join(ids, Seq("feature_hi", "feature_lo"))
       .groupBy("function_key")
       .agg(sort_array(collect_list(col("feature_id").cast("int"))).as("feats"))
-    (byFunc, hashes)
-  }
+
+  /** The feature hash table indexed by id (the driver-side weight index). */
+  def collectHashes(ids: DataFrame): Array[(Long, Long)] =
+    ids.orderBy("feature_id").collect().map(r => (r.getLong(0), r.getLong(1)))
 
   /** Distributed pair resolution (J4, second pass of
     * `learning/trainingdata.cpp:96-145`): `pairs` (a, b, attract) joined

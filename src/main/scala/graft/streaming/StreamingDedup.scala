@@ -737,6 +737,27 @@ object StreamingDedup {
     // and never sees some tables' rows without the others'
     val marker = commitMarker(rootPath, batchId)
     if (fsRoot.exists(marker)) { fsRoot.delete(marker, false); () }
+    // five of the six state-table writes depend only on frames already
+    // materialized (bands, sigs, anchors, windows, keeper hashes) — launch
+    // them NOW so they overlap the candidate/verify phase below instead of
+    // forming a serial write barrier at batch end (guide §2.6). They land
+    // in this batch's own dirs, invisible until the commit marker, so
+    // overlap cannot expose partial state; if a later phase throws, any
+    // files these leave behind are torn-batch residue the existing replay
+    // contract already covers (marker absent -> invisible; the retried
+    // batch overwrites its own dirs).
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val earlyWrites = Seq(
+      newBands -> batchDir(indexPath),
+      sigs -> batchDir(sigsPath),
+      newAnch -> batchDir(anchPath),
+      newWins -> batchDir(winsPath),
+      keeperHashes -> batchDir(hashPath)).map { case (df, dir) =>
+      Future(df.coalesce(4).write.option("compression", "zstd")
+        .mode("overwrite").parquet(dir))
+    }
     val noneTouched = Map("idx" -> Set.empty[Int], "anch" -> Set.empty[Int],
       "wins" -> Set.empty[Int])
     // ONE job computes every prune set derivable from the new rows alone
@@ -807,25 +828,15 @@ object StreamingDedup {
       col("caption_norm").as("text"))
     val ssPairs = SubstringDup.verifyContained(ssCands, allTexts)
     phase("verify plans")
-    // the output tables are independent checkpointed plans — submit them as
-    // concurrent Spark jobs instead of serial write barriers
-    import scala.concurrent.{Await, Future}
-    import scala.concurrent.duration.Duration
-    import scala.concurrent.ExecutionContext.Implicits.global
     val allPairs = verifiedPairs.union(ssPairs).union(exactPairs)
     val batchPairs =
       if (metrics) graft.core.Checkpoints.ckpt(allPairs) else allPairs
-    val writes = Seq(
-      batchPairs -> batchDir(pairsPath),
-      newBands -> batchDir(indexPath),
-      sigs -> batchDir(sigsPath),
-      newAnch -> batchDir(anchPath),
-      newWins -> batchDir(winsPath),
-      keeperHashes -> batchDir(hashPath))
-    Await.result(Future.sequence(writes.map { case (df, dir) =>
-      Future(df.coalesce(4).write.option("compression", "zstd")
-        .mode("overwrite").parquet(dir))
-    }), Duration.Inf)
+    // the pair log is the only table that needs the verify; the other five
+    // writes were launched before the candidate phase (see earlyWrites)
+    val pairsWrite = Future(batchPairs.coalesce(4)
+      .write.option("compression", "zstd")
+      .mode("overwrite").parquet(batchDir(pairsPath)))
+    Await.result(Future.sequence(earlyWrites :+ pairsWrite), Duration.Inf)
     phase("state writes")
     if (metrics) {
       import spark.implicits._
