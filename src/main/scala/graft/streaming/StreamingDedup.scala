@@ -293,6 +293,34 @@ object StreamingDedup {
       p: Int): Set[Int] =
     touchedPartitionsMulti(Seq(("x", df, keys)), p)("x")
 
+  /** `Checkpoints.ckpt` + the frame's distinct state-partition numbers for
+    * `keys`, collected as a SIDE EFFECT of the same materialization job via
+    * a set-semantics accumulator — the separate touched-partition job per
+    * table becomes free. Correctness notes: the helper column rides the
+    * checkpointed blocks and is projected away before the frame is
+    * returned (consumers and state writes see the original schema); the
+    * UDF is marked non-deterministic so the optimizer can neither
+    * eliminate nor duplicate it; accumulator updates from every partition
+    * are visible once the (synchronous) checkpoint job completes, and
+    * retried/speculative tasks can only re-add the same set members. Uses
+    * `partCol` itself, so read- and write-side partitioning cannot
+    * diverge. With `want = false` (no committed state — nothing will be
+    * pruned) it degrades to a plain checkpoint and an empty set. */
+  private def ckptTouched(df: DataFrame, keys: Seq[Column], p: Int,
+      want: Boolean): (DataFrame, Set[Int]) = {
+    if (!want) (graft.core.Checkpoints.ckpt(df), Set.empty)
+    else {
+      val spark = df.sparkSession
+      val acc = new org.apache.spark.util.CollectionAccumulator[java.lang.Integer]()
+      spark.sparkContext.register(acc, "touchedP")
+      val tap = udf((x: Int) => { acc.add(x); x }).asNondeterministic()
+      val ck = graft.core.Checkpoints.ckpt(
+        df.withColumn("__touched_p", tap(partCol(keys, p))))
+      import scala.jdk.CollectionConverters._
+      (ck.drop("__touched_p"), acc.value.asScala.map(_.intValue()).toSet)
+    }
+  }
+
   // ---------------------------------------------------------------- stateP
   /** Persist-or-validate the state partition count. The base `p=` layout is
     * a function of `stateP`; pruning under a different modulus silently
@@ -671,16 +699,16 @@ object StreamingDedup {
     // connectivity (and recall) is preserved transitively. The hashes
     // table holds keepers only, hence one row per sha by construction;
     // the groupBy-min on the probe read is defensive, not load-bearing.
-    val newHashes = graft.core.Checkpoints.ckpt(batch.select(col("image_id"),
-      graft.pipeline.TieredImageDedup.recordSha(col("bytes"), col("caption"))
-        .as("record_sha")))
+    // hash checkpoint + its touched-partition set in ONE job (ckptTouched)
+    val (newHashes, hashTouched) = ckptTouched(
+      batch.select(col("image_id"),
+        graft.pipeline.TieredImageDedup.recordSha(col("bytes"), col("caption"))
+          .as("record_sha")),
+      Seq(col("record_sha")), stateP, want = hasState)
     // empty-batch early-out AFTER the hash pass: probing emptiness on the
     // materialized (local-block) frame folds the previous separate
     // source-scan isEmpty job into the checkpoint the tier needs anyway
     if (newHashes.isEmpty) return
-    val hashTouched =
-      if (!hasState) Set.empty[Int]
-      else touchedPartitions(newHashes, Seq(col("record_sha")), stateP)
     val (oldHashes, hashStats) = readState(spark, hashPath, hashSchema,
       self, Some(hashTouched), metrics)
     val oldRep = oldHashes.groupBy("record_sha")
@@ -716,21 +744,29 @@ object StreamingDedup {
     val w = cfg.substringWindow
     val newTexts = sigs.select(col("image_id").as("id"),
       col("caption_norm").as("text"))
-    val parallelParts = graft.core.Checkpoints.parallelRun[DataFrame](Seq(
-      () => graft.core.Checkpoints.ckpt(Dedup.bands(sigs, cfg)),
-      () => if (cfg.bandProbes > 0)
-        graft.core.Checkpoints.ckpt(Dedup.probeBands(sigsAll, cfg))
-      else null,
-      () => graft.core.Checkpoints.ckpt(SubstringDup.anchorTable(newTexts, w)),
-      () => graft.core.Checkpoints.ckpt(SubstringDup.windowTable(newTexts, w))))
-    val newBands = parallelParts(0)
+    // each checkpoint also yields its touched-partition set as a side
+    // effect of the same materialization (ckptTouched) — the former
+    // separate combined prune-set job is gone
+    val bandKeys = Seq(col("band_id"), col("band_key"))
+    val parallelParts =
+      graft.core.Checkpoints.parallelRun[(DataFrame, Set[Int])](Seq(
+        () => ckptTouched(Dedup.bands(sigs, cfg), bandKeys, stateP, hasState),
+        () => if (cfg.bandProbes > 0)
+          ckptTouched(Dedup.probeBands(sigsAll, cfg), bandKeys, stateP,
+            hasState)
+        else (null, Set.empty[Int]),
+        () => ckptTouched(SubstringDup.anchorTable(newTexts, w),
+          Seq(col("k")), stateP, hasState),
+        () => ckptTouched(SubstringDup.windowTable(newTexts, w),
+          Seq(col("k")), stateP, hasState)))
+    val newBands = parallelParts(0)._1
     // exact + probe rows: everything this batch PROBES with (per-band
     // flipped-key rows collide with stored exact keys one bit-flip away)
     val probeSet =
-      if (cfg.bandProbes > 0) newBands.unionByName(parallelParts(1))
+      if (cfg.bandProbes > 0) newBands.unionByName(parallelParts(1)._1)
       else newBands
-    val newAnch = parallelParts(2)
-    val newWins = parallelParts(3)
+    val newAnch = parallelParts(2)._1
+    val newWins = parallelParts(3)._1
     phase("featurize+bands+substr tables")
     // replay: withdraw this batch's ONE commit marker BEFORE touching its
     // files, so a concurrent clustersFromState never reads mid-overwrite —
@@ -758,16 +794,15 @@ object StreamingDedup {
       Future(df.coalesce(4).write.option("compression", "zstd")
         .mode("overwrite").parquet(dir))
     }
-    val noneTouched = Map("idx" -> Set.empty[Int], "anch" -> Set.empty[Int],
-      "wins" -> Set.empty[Int])
-    // ONE job computes every prune set derivable from the new rows alone
-    // (the candidate-id set depends on reads below, so it stays separate)
-    val touched0 =
-      if (!hasState) noneTouched
-      else touchedPartitionsMulti(Seq(
-        ("idx", probeSet, Seq(col("band_id"), col("band_key"))),
-        ("anch", newWins, Seq(col("k"))), // anchors pruned by new window keys
-        ("wins", newAnch, Seq(col("k")))), stateP)
+    // prune sets assembled from the checkpoint-time accumulators above: the
+    // index probe touches every partition an exact OR probe key lands in;
+    // anchors are pruned by the new WINDOW keys and windows by the new
+    // ANCHOR keys (the incremental substring join's two directions) — the
+    // same sets the former dedicated job computed
+    val touched0 = Map(
+      "idx" -> (parallelParts(0)._2 ++ parallelParts(1)._2),
+      "anch" -> parallelParts(3)._2,
+      "wins" -> parallelParts(2)._2)
     phase("touched partitions")
     // the band-index candidate chain and the substring candidate chain are
     // independent until the verify stage — run them as concurrent jobs
